@@ -1,0 +1,348 @@
+"""Chunked file search engine (layer L3).
+
+TPU-native counterpart of ``mmoore::SearchEngine<DataType>::run``
+(``src/core/search_engine.cpp:23-216``).  Where the reference partitions the
+file into ~512 KiB blocks scanned by a CPU thread pool, this engine streams
+large device chunks through the dense scan kernel and applies the reference's
+block structure *logically*:
+
+- **Block math parity** — blocks advance by ``preferred_search_block_size``
+  bytes and read ``(pattern_len-1)*element_size`` halo bytes
+  (``compute_search_blocks``, ``search_engine.cpp:218-253``).  A match is
+  reported by exactly one block (its start lies in the block's base region),
+  so a single global scan finds the identical match set; the block id of a
+  match is just ``byte_offset // block_base_size``.
+- **Alignment phases** — 16-bit searches scan both byte alignments of each
+  block (``search_engine.cpp:129-141``); globally this is the even-offset and
+  odd-offset element grids, with per-grid valid counts
+  ``floor((file_size - a) / element_size)``.
+- **Suppression grouping** — the reference's post-match advance restarts at
+  each block start; candidates are therefore grouped per (block, alignment)
+  and greedily suppressed per group (``ops/suppress.py``).
+- **Progress / abort** — one callback per logical block with the reference's
+  ``float`` accumulation (``search_engine.cpp:75-80,161-165``), abort checks
+  after each callback and between chunks, empty result on abort
+  (``:177-187``).
+- **Previews** — byte-exact window math + equivalency decode (``preview.py``).
+
+``MatchSemantics.REFERENCE`` runs the exact sequential walker per (block,
+alignment) instead of the dense kernel (oracle or native C++ walker).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .config import (
+    Endianness,
+    MatchSemantics,
+    ProgressCallback,
+    SearchConfig,
+    SearchResult,
+    SearchStep,
+)
+from .ops.recover import recover_from_values, recovery_shifts
+from .ops.suppress import greedy_suppress
+from .oracle import oracle_search
+from .pattern import CompiledPattern, compile_pattern
+from .preview import decode_elements, generate_preview
+from .utils.logging import log
+
+__all__ = ["SearchEngine", "compute_search_blocks"]
+
+
+def compute_search_blocks(
+    file_size: int, pattern_len: int, element_size: int, base_size: int
+) -> List[Tuple[int, int]]:
+    """(offset, size) logical blocks with halo overlap.
+
+    Parity: ``compute_search_blocks`` (``search_engine.cpp:218-253``): blocks
+    advance by ``base_size`` bytes; each reads
+    ``base_size + (pattern_len-1)*element_size`` bytes clipped at EOF.
+    """
+    overlap = (pattern_len - 1) * element_size
+    full = base_size + overlap
+    num_blocks = -(-file_size // base_size) if file_size else 0
+    blocks = []
+    for i in range(num_blocks):
+        offset = i * base_size
+        size = min(full, file_size - offset)
+        blocks.append((offset, size))
+    return blocks
+
+
+def _normalize_abort(abort_flag) -> Callable[[], bool]:
+    if abort_flag is None:
+        return lambda: False
+    if hasattr(abort_flag, "is_set"):
+        return abort_flag.is_set
+    if callable(abort_flag):
+        return abort_flag
+    return lambda: bool(abort_flag)
+
+
+class SearchEngine:
+    """Headless search engine over a file on disk.
+
+    Usage mirror of ``SearchEngine<T>(config).run(...)``
+    (``include/mmoore/search_engine.hpp:47-58``)::
+
+        engine = SearchEngine(config)
+        results = engine.run(on_progress, abort_flag, generate_previews=True)
+    """
+
+    def __init__(self, config: SearchConfig):
+        self.config = config
+
+    # ------------------------------------------------------------------
+    def compile(self) -> CompiledPattern:
+        cfg = self.config
+        if cfg.is_relative_search:
+            return compile_pattern(
+                keyword=cfg.keyword,
+                wildcard=cfg.wildcard,
+                char_seq=cfg.custom_char_seq,
+                dtype=cfg.dtype(),
+            )
+        return compile_pattern(
+            reference_values=list(cfg.reference_values), dtype=cfg.dtype()
+        )
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        on_progress: Optional[ProgressCallback] = None,
+        abort_flag=None,
+        generate_previews: bool = False,
+    ) -> List[SearchResult]:
+        cfg = self.config
+        progress = on_progress or (lambda pct, step: None)
+        aborted = _normalize_abort(abort_flag)
+
+        path = Path(cfg.file_path) if cfg.file_path else None
+        if path is None or not path.exists():
+            raise FileNotFoundError("File not found")  # ``search_engine.cpp:43-45``
+
+        progress(0, SearchStep.INITIALIZING)
+        file_size = path.stat().st_size
+        pat = self.compile()
+        s = cfg.element_width
+
+        blocks = compute_search_blocks(
+            file_size, pat.length, s, cfg.preferred_search_block_size
+        )
+        log("blocks=", len(blocks), " file_size=", file_size)
+
+        progress(0, SearchStep.SEARCHING)
+
+        data = np.memmap(path, dtype=np.uint8, mode="r") if file_size else np.zeros(
+            0, dtype=np.uint8
+        )
+
+        if cfg.semantics is MatchSemantics.REFERENCE:
+            raw = self._scan_reference(pat, data, file_size, blocks, progress, aborted)
+        else:
+            raw = self._scan_dense(pat, data, file_size, blocks, progress, aborted)
+        if raw is None:  # aborted
+            return []
+
+        # Global sort by byte offset (``search_engine.cpp:193-197``).
+        raw.sort(key=lambda r: r[0])
+        results = [SearchResult(offset=o, values_map=m) for o, m in raw]
+
+        progress(100, SearchStep.GENERATING_PREVIEWS)
+
+        if generate_previews and results:
+            is_ascii = len(pat.char_seq) == 0
+            for r in results:
+                r.preview = generate_preview(
+                    data,
+                    file_size,
+                    r.offset,
+                    r.values_map,
+                    len(_as_seq(cfg.keyword)),
+                    cfg.preferred_preview_width,
+                    s,
+                    cfg.endianness,
+                    cfg.is_relative_search,
+                    is_ascii,
+                )
+        return results
+
+    # ------------------------------------------------------------------
+    def _element_grid(self, file_size: int, align: int) -> int:
+        """Valid element count of alignment grid *align* (mirrors the
+        per-block ``data_count`` trim, ``search_engine.cpp:137-141``)."""
+        s = self.config.element_width
+        return max(0, (file_size - align) // s)
+
+    def _decode_grid(
+        self, data: np.ndarray, align: int, e_start: int, e_count: int
+    ) -> np.ndarray:
+        """Elements [e_start, e_start+e_count) of an alignment grid."""
+        s = self.config.element_width
+        b0 = align + e_start * s
+        raw = data[b0 : b0 + e_count * s]
+        return decode_elements(raw.tobytes(), s, self.config.endianness)
+
+    # ------------------------------------------------------------------
+    def _scan_dense(self, pat, data, file_size, blocks, progress, aborted):
+        """Dense device scan + per-(block, alignment) greedy suppression."""
+        from .ops.scan_jnp import pattern_device_args
+        from .dense import _select_kernel
+
+        import jax.numpy as jnp
+
+        cfg = self.config
+        s = cfg.element_width
+        L = pat.length
+        base = cfg.preferred_search_block_size
+        chunk_elems = max(L, cfg.device_chunk_bytes // s)
+        capacity = cfg.max_matches_per_chunk
+
+        kernel = _select_kernel(cfg.use_pallas)
+        sc, sp, exp, rec = pattern_device_args(pat)
+        rec_shifts = recovery_shifts(pat)
+
+        # (byte_offset, element_offset_in_grid, align, values) per candidate
+        per_group: dict = {}
+        candidate_info: dict = {}
+
+        n_chunks = max(1, -(-max(
+            (self._element_grid(file_size, a) for a in range(s)), default=0
+        ) // chunk_elems))
+
+        tracker = _BlockProgress(len(blocks), base, progress, aborted)
+
+        for k in range(n_chunks):
+            if aborted():
+                return None
+            e0 = k * chunk_elems
+            for a in range(s):
+                n_a = self._element_grid(file_size, a)
+                if e0 >= n_a:
+                    continue
+                count_here = min(chunk_elems + L - 1, n_a - e0)
+                if count_here < L:
+                    continue
+                arr = self._decode_grid(data, a, e0, count_here)
+                # pad to the static chunk shape (shared executable)
+                want = chunk_elems + L - 1
+                pad_to = want if n_chunks > 1 or want < 4096 else min(
+                    want, max(256, 1 << (count_here - 1).bit_length())
+                )
+                if len(arr) < pad_to:
+                    arr = np.pad(arr, (0, pad_to - len(arr)))
+                cap = capacity
+                while True:
+                    count, offsets, values = kernel(
+                        jnp.asarray(arr),
+                        jnp.int32(count_here),
+                        sc, sp, exp, rec,
+                        length=L,
+                        signed_compare=pat.signed_compare,
+                        capacity=cap,
+                    )
+                    count = int(count)
+                    if count <= cap:
+                        break
+                    cap = max(cap * 2, 1 << (count - 1).bit_length())
+                if count:
+                    offs = np.asarray(offsets[:count], dtype=np.int64)
+                    vals = np.asarray(values[:count], dtype=np.int64)
+                    # chunk scans only emit starts within [0, chunk_elems)
+                    keep = offs < chunk_elems
+                    offs, vals = offs[keep], vals[keep]
+                    for off, val in zip(offs.tolist(), vals.tolist()):
+                        e_global = e0 + off
+                        byte_off = a + e_global * s
+                        block_id = byte_off // base
+                        per_group.setdefault((block_id, a), []).append(e_global)
+                        candidate_info[(a, e_global)] = (byte_off, val)
+            # progress: blocks fully covered by the chunks processed so far
+            bytes_done = min(file_size, (e0 + chunk_elems) * s)
+            if not tracker.advance_to(bytes_done, final=(k == n_chunks - 1)):
+                return None
+
+        if not tracker.finish():
+            return None
+
+        results = []
+        suppress = cfg.semantics is MatchSemantics.GREEDY
+        for (block_id, a), elems in per_group.items():
+            elems = np.array(sorted(elems), dtype=np.int64)
+            if suppress:
+                elems = greedy_suppress(elems, pat.advance)
+            for e in elems.tolist():
+                byte_off, val = candidate_info[(a, e)]
+                results.append((byte_off, recover_from_values(pat, val)))
+        return results
+
+    # ------------------------------------------------------------------
+    def _scan_reference(self, pat, data, file_size, blocks, progress, aborted):
+        """Exact reference semantics: sequential walk per (block, alignment),
+        mirroring the worker lambda (``search_engine.cpp:107-168``)."""
+        cfg = self.config
+        s = cfg.element_width
+        results = []
+        tracker = _BlockProgress(len(blocks), cfg.preferred_search_block_size,
+                                 progress, aborted)
+        for offset, size in blocks:
+            if aborted():
+                return None
+            raw = data[offset : offset + size]
+            for a in range(s):
+                count = max(0, (size - a) // s)
+                arr = decode_elements(
+                    raw[a : a + count * s].tobytes(), s, cfg.endianness
+                )
+                for pos, vmap in oracle_search(pat, arr):
+                    results.append((offset + pos * s + a, vmap))
+            if not tracker.step():
+                return None
+        return results
+
+
+class _BlockProgress:
+    """Reference-parity progress accounting: ``float`` accumulation of
+    ``100/num_blocks`` per completed block (``search_engine.cpp:75-80,
+    161-165``), one callback per block, abort checked after each callback."""
+
+    def __init__(self, num_blocks, base, progress, aborted):
+        self.num_blocks = num_blocks
+        self.base = base
+        self.progress = progress
+        self.aborted = aborted
+        self.total = np.float32(0.0)
+        self.inc = np.float32(100.0) / np.float32(max(1, num_blocks))
+        self.done = 0
+
+    def step(self) -> bool:
+        """One block finished → callback; returns False on abort."""
+        self.total = np.float32(self.total + self.inc)
+        self.done += 1
+        self.progress(int(self.total), SearchStep.SEARCHING)
+        return not self.aborted()
+
+    def advance_to(self, bytes_done: int, final: bool) -> bool:
+        """Emit callbacks for blocks fully covered up to *bytes_done*."""
+        target = self.num_blocks if final else min(
+            self.num_blocks, bytes_done // self.base
+        )
+        while self.done < target:
+            if not self.step():
+                return False
+        return True
+
+    def finish(self) -> bool:
+        return self.advance_to(0, final=True) if self.done < self.num_blocks else True
+
+
+def _as_seq(keyword) -> Sequence:
+    if keyword is None:
+        return ()
+    return keyword

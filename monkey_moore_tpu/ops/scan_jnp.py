@@ -1,0 +1,171 @@
+"""Dense relative-search scan — pure-XLA path (layer L2).
+
+The TPU-native replacement for the reference's sequential hot loops
+(``src/core/monkey_moore.cpp:316-410`` and ``:425-546``): instead of a
+pointer-chasing Boyer-Moore walk, every window position is evaluated
+branchlessly against the compiled check tables.  The work is O(N·C) simple
+VPU ops (C = number of checks ≈ pattern length), which XLA fuses into an
+HBM-bandwidth-bound sweep; candidates are compacted into a fixed-capacity
+offset buffer on device so the host only ever sees O(matches) data.
+
+Semantics per mode (see ``pattern.py``):
+
+- SIMPLE/VALUE_SCAN: signed integer compare of adjacent diffs.
+- WILDCARD: unsigned element-width wraparound compare of bridged diffs under
+  a bitmask.
+
+This module is the correctness baseline and the CPU fallback; the Pallas
+kernel in ``scan_pallas.py`` computes the same bitmap with explicit tiling.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..pattern import CompiledPattern
+
+__all__ = [
+    "match_bitmap",
+    "compact_matches",
+    "scan_chunk",
+    "pattern_device_args",
+]
+
+
+def _widen_dtype(dtype) -> jnp.dtype:
+    """Signed compute dtype wide enough for exact signed diffs."""
+    return jnp.int16 if np.dtype(dtype) == np.uint8 else jnp.int32
+
+
+def pattern_device_args(pat: CompiledPattern) -> Tuple[jnp.ndarray, ...]:
+    """Device-array form of the dense check tables + recovery shifts.
+
+    Returned as plain arrays (not static) so that jit caches key only on
+    :meth:`CompiledPattern.kernel_key` — searching a different same-length
+    keyword reuses the compiled executable.
+    """
+    from .recover import recovery_shifts
+
+    if pat.signed_compare:
+        expected = jnp.asarray(pat.chk_expected, dtype=_widen_dtype(pat.dtype))
+    else:
+        expected = jnp.asarray(pat.chk_expected, dtype=pat.dtype)
+    shifts = recovery_shifts(pat)
+    # Always pass two recovery shifts (second may duplicate the first) so the
+    # traced shape is mode-independent.
+    s0 = shifts[0]
+    s1 = shifts[1] if len(shifts) > 1 else shifts[0]
+    return (
+        jnp.asarray(pat.chk_shift_cur, dtype=jnp.int32),
+        jnp.asarray(pat.chk_shift_prev, dtype=jnp.int32),
+        expected,
+        jnp.asarray([s0, s1], dtype=jnp.int32),
+    )
+
+
+def match_bitmap(
+    data: jnp.ndarray,
+    valid_count: jnp.ndarray,
+    length: int,
+    shift_cur: jnp.ndarray,
+    shift_prev: jnp.ndarray,
+    expected: jnp.ndarray,
+    signed_compare: bool,
+) -> jnp.ndarray:
+    """Boolean match flag for every window start in ``[0, N - L]``.
+
+    ``data``: 1-D element array (u8/u16), padded to a static size N.
+    ``valid_count``: actual number of valid elements (<= N); windows that
+    would read past it are masked off.
+
+    The check tables are *traced* values but their length C and the pattern
+    length L are static, so the C shifted compares unroll at trace time into
+    a fused elementwise sweep.
+    """
+    n = data.shape[0]
+    num_checks = expected.shape[0]
+    positions = n - length + 1
+    if positions <= 0:
+        return jnp.zeros((0,), dtype=bool)
+
+    if signed_compare:
+        wide = data.astype(_widen_dtype(data.dtype))
+        # Adjacent-diff special case: shift_cur = 1..L-1, shift_prev = cur-1.
+        d1 = wide[1:] - wide[:-1]  # length n-1
+        ok = jnp.ones((positions,), dtype=bool)
+        for c in range(num_checks):
+            # diff at window position chk_cur = d1[p + chk_cur - 1]; for the
+            # simple mode chk_cur == c+1.
+            ok = ok & (
+                jax.lax.dynamic_slice_in_dim(d1, c, positions) == expected[c]
+            )
+    else:
+        ok = jnp.ones((positions,), dtype=bool)
+        for c in range(num_checks):
+            # Shifts are static per pattern *shape* but traced values — use
+            # dynamic_slice with traced starts so same-shape keywords share
+            # one compiled executable.
+            cur = jax.lax.dynamic_slice_in_dim(data, shift_cur[c], positions)
+            prev = jax.lax.dynamic_slice_in_dim(data, shift_prev[c], positions)
+            ok = ok & ((cur - prev) == expected[c])
+
+    # Mask off windows that extend past the valid element count.
+    idx = jnp.arange(positions, dtype=jnp.int32)
+    ok = ok & (idx <= valid_count - length)
+    return ok
+
+
+def compact_matches(
+    bitmap: jnp.ndarray, capacity: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-capacity compaction: (count, offsets[capacity], fill = -1).
+
+    SPMD-friendly replacement for the reference's ``std::vector`` result
+    accumulation (``monkey_moore.cpp:395-396``): the true count is returned
+    so callers can detect capacity overflow and retry.
+    """
+    count = jnp.sum(bitmap, dtype=jnp.int32)
+    offsets = jnp.nonzero(
+        bitmap, size=capacity, fill_value=-1
+    )[0].astype(jnp.int32)
+    return count, offsets
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("length", "signed_compare", "capacity"),
+)
+def scan_chunk(
+    data: jnp.ndarray,
+    valid_count: jnp.ndarray,
+    shift_cur: jnp.ndarray,
+    shift_prev: jnp.ndarray,
+    expected: jnp.ndarray,
+    recovery: jnp.ndarray,
+    *,
+    length: int,
+    signed_compare: bool,
+    capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One-dispatch dense scan of a device chunk.
+
+    Returns ``(count, offsets[capacity], recovery_values[capacity, 2])``:
+    element offsets of every match (ALL semantics — suppression happens on
+    host over the sparse candidate list) and the data values needed for
+    equivalency-map recovery (``ops/recover.py``), gathered on device.
+    """
+    bitmap = match_bitmap(
+        data, valid_count, length, shift_cur, shift_prev, expected,
+        signed_compare,
+    )
+    count, offsets = compact_matches(bitmap, capacity)
+    safe = jnp.maximum(offsets, 0)
+    n = data.shape[0]
+    gather_idx = jnp.clip(safe[:, None] + recovery[None, :], 0, n - 1)
+    values = data[gather_idx]  # [capacity, 2]
+    return count, offsets, values

@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config flag is
+# honored. Must happen before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

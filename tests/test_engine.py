@@ -1,0 +1,340 @@
+"""Engine-level integration tests (layer L3).
+
+Port of ``tests/test_search_engine.cpp`` with the TPU twist: the reference's
+threads × block-size partitioning-invariance sweep becomes a
+match-semantics × block-size × device-chunk-size sweep — results must be
+identical under every partitioning.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from monkey_moore_tpu.config import (
+    Endianness,
+    MatchSemantics,
+    SearchConfig,
+    SearchStep,
+)
+from monkey_moore_tpu.engine import SearchEngine, compute_search_blocks
+
+
+def write_file(tmp_path, data: np.ndarray, name="blob.bin"):
+    p = tmp_path / name
+    p.write_bytes(np.ascontiguousarray(data).tobytes())
+    return p
+
+
+def text_u8(text: str, shift: int = 0) -> np.ndarray:
+    return (np.array([ord(c) for c in text], dtype=np.int64) + shift).astype(
+        np.uint8
+    )
+
+
+def text_u16(text: str, shift: int = 0) -> np.ndarray:
+    return (np.array([ord(c) for c in text], dtype=np.int64) + shift).astype(
+        np.uint16
+    )
+
+
+FILE_DATA_8 = np.array(
+    # "text" encoded at offsets 0, 9, 27, 50, 60 (``test_search_engine.cpp:27-44``)
+    [0x94, 0x85, 0x98, 0x94, 0x10, 0x10, 0x11, 0x11,
+     0x00, 0x94, 0x85, 0x98, 0x94, 0x00, 0xFF, 0xFF,
+     0x00, 0x00, 0x01, 0x0A, 0xFF, 0xFF, 0x00, 0x00,
+     0x00, 0x94, 0x85, 0x94, 0x85, 0x98, 0x94, 0x00,
+     0xFF, 0x00, 0x0A, 0xFF, 0xFF, 0x01, 0x00, 0x00,
+     0xFF, 0x00, 0x0A, 0xFF, 0xFF, 0x01, 0x00, 0x00,
+     0x00, 0xFF, 0x94, 0x85, 0x98, 0x94, 0x00, 0xFF,
+     0x00, 0x01, 0xA5, 0xA1, 0x94, 0x85, 0x98, 0x94],
+    dtype=np.uint8,
+)
+
+FILE_DATA_16 = np.array(
+    # byte offsets 0, 18, 54, 100, 120 (``test_search_engine.cpp:84-101``)
+    [0x1094, 0x1085, 0x1098, 0x1094, 0x0010, 0x0010, 0x0011, 0x0011,
+     0x0000, 0x1094, 0x1085, 0x1098, 0x1094, 0x0000, 0xFFFF, 0xFFFF,
+     0x0000, 0x0000, 0x0001, 0x000A, 0xFFFF, 0xFFFF, 0x0000, 0x0000,
+     0x0000, 0x1094, 0x1085, 0x1094, 0x1085, 0x1098, 0x1094, 0x0000,
+     0xFFFF, 0x0000, 0x000A, 0xFFFF, 0xFFFF, 0x0001, 0x0000, 0x0000,
+     0xFFFF, 0x0000, 0x000A, 0xFFFF, 0xFFFF, 0x0001, 0x0000, 0x0000,
+     0x0000, 0xFFFF, 0x1094, 0x1085, 0x1098, 0x1094, 0x0000, 0x00FF,
+     0x0000, 0x0110, 0xA510, 0x01A1, 0x1094, 0x1085, 0x1098, 0x1094],
+    dtype=np.uint16,
+)
+
+
+class TestCorrectness8Bit:
+    # ``test_search_engine.cpp:26-81``
+    @pytest.mark.parametrize("semantics", [MatchSemantics.GREEDY, MatchSemantics.REFERENCE])
+    # 128: larger than file; 8: divisible; 23: misaligned; 29: splits keyword
+    @pytest.mark.parametrize("block_size", [128, 8, 23, 29])
+    @pytest.mark.parametrize("chunk_bytes", [37, 4096])
+    def test_all_partitionings(self, tmp_path, semantics, block_size, chunk_bytes):
+        path = write_file(tmp_path, FILE_DATA_8)
+        cfg = SearchConfig(
+            file_path=path,
+            keyword="text",
+            preferred_search_block_size=block_size,
+            preferred_preview_width=4,
+            device_chunk_bytes=chunk_bytes,
+            semantics=semantics,
+        )
+        results = SearchEngine(cfg).run()
+        assert [r.offset for r in results] == [0, 9, 27, 50, 60]
+
+
+class TestCorrectness16Bit:
+    # ``test_search_engine.cpp:83-159``
+    @pytest.mark.parametrize("semantics", [MatchSemantics.GREEDY, MatchSemantics.REFERENCE])
+    @pytest.mark.parametrize("block_size", [256, 16, 47, 58])
+    def test_little_endian(self, tmp_path, semantics, block_size):
+        path = write_file(tmp_path, FILE_DATA_16.astype("<u2"))
+        cfg = SearchConfig(
+            file_path=path,
+            keyword="text",
+            element_width=2,
+            preferred_search_block_size=block_size,
+            device_chunk_bytes=64,
+            semantics=semantics,
+        )
+        results = SearchEngine(cfg).run()
+        assert [r.offset for r in results] == [0, 18, 54, 100, 120]
+
+    @pytest.mark.parametrize("semantics", [MatchSemantics.GREEDY, MatchSemantics.REFERENCE])
+    @pytest.mark.parametrize("block_size", [512, 24, 47, 58])
+    def test_big_endian(self, tmp_path, semantics, block_size):
+        path = write_file(tmp_path, FILE_DATA_16.astype(">u2").view(np.uint8))
+        cfg = SearchConfig(
+            file_path=path,
+            keyword="text",
+            element_width=2,
+            endianness=Endianness.BIG,
+            preferred_search_block_size=block_size,
+            device_chunk_bytes=64,
+            semantics=semantics,
+        )
+        results = SearchEngine(cfg).run()
+        assert [r.offset for r in results] == [0, 18, 54, 100, 120]
+
+
+class TestPreview8Bit:
+    # ``test_search_engine.cpp:161-236``
+    def make_cfg(self, path, keyword, width):
+        return SearchConfig(
+            file_path=path,
+            keyword=keyword,
+            preferred_search_block_size=16,
+            preferred_preview_width=width,
+        )
+
+    def test_preview_text(self, tmp_path):
+        text = "#####the theater's theatrical theatergoer thanked the theatrical theater's theatrics####"
+        path = write_file(tmp_path, text_u8(text, 0x10))
+        results = SearchEngine(self.make_cfg(path, "theater", 25)).run(
+            generate_previews=True
+        )
+        assert [(r.offset, r.preview) for r in results] == [
+            (9, "#####the#theater#s#theatr"),
+            (30, "eatrical#theatergoer#than"),
+            (65, "eatrical#theater#s#theatr"),
+        ]
+
+    def test_match_at_start(self, tmp_path):
+        path = write_file(tmp_path, text_u8("match me please# \0", 0x0A))
+        results = SearchEngine(self.make_cfg(path, "match", 8)).run(
+            generate_previews=True
+        )
+        assert len(results) == 1
+        assert results[0].offset == 0
+        assert results[0].preview == "match#me"
+
+    def test_match_at_end(self, tmp_path):
+        path = write_file(tmp_path, text_u8("###reach the final", 0x2A))
+        results = SearchEngine(self.make_cfg(path, "final", 9)).run(
+            generate_previews=True
+        )
+        assert len(results) == 1
+        assert results[0].offset == 13
+        assert results[0].preview == "the#final"
+
+    def test_match_larger_than_window(self, tmp_path):
+        path = write_file(
+            tmp_path, text_u8("community#understanding#information", -0x1F)
+        )
+        results = SearchEngine(self.make_cfg(path, "understanding", 11)).run(
+            generate_previews=True
+        )
+        assert len(results) == 1
+        assert results[0].offset == 10
+        assert results[0].preview == "nderstandin"
+
+
+class TestPreview16Bit:
+    # ``test_search_engine.cpp:238-296``
+    def make_cfg(self, path, keyword, width):
+        return SearchConfig(
+            file_path=path,
+            keyword=keyword,
+            element_width=2,
+            preferred_search_block_size=32,
+            preferred_preview_width=width,
+        )
+
+    def test_preview_text(self, tmp_path):
+        text = "#####the theater's theatrical theatergoer thanked the theatrical theater's theatrics####"
+        path = write_file(tmp_path, text_u16(text, 0x20).astype("<u2"))
+        results = SearchEngine(self.make_cfg(path, "theater", 25)).run(
+            generate_previews=True
+        )
+        assert [(r.offset, r.preview) for r in results] == [
+            (18, "#####the#theater#s#theatr"),
+            (60, "eatrical#theatergoer#than"),
+            (130, "eatrical#theater#s#theatr"),
+        ]
+
+    def test_match_at_start(self, tmp_path):
+        path = write_file(tmp_path, text_u16("catch me please# \0").astype("<u2"))
+        results = SearchEngine(self.make_cfg(path, "catch", 8)).run(
+            generate_previews=True
+        )
+        assert len(results) == 1
+        assert results[0].offset == 0
+        assert results[0].preview == "catch#me"
+
+    def test_match_at_end(self, tmp_path):
+        path = write_file(tmp_path, text_u16("###the final step").astype("<u2"))
+        results = SearchEngine(self.make_cfg(path, "step", 9)).run(
+            generate_previews=True
+        )
+        assert len(results) == 1
+        assert results[0].offset == 26
+        assert results[0].preview == "inal#step"
+
+
+class TestPreviewCustomSeq:
+    # ``test_search_engine.cpp:298-348``
+    UNICODE_HIRAGANA = "".join(chr(c) for c in range(0x3041, 0x30A0))
+
+    def test_8bit_mode(self, tmp_path):
+        content = "あした、わたしたちは、にわに、はなを、まきます"
+        data = np.array(
+            [(ord(c) - 0x3000) & 0xFF for c in content], dtype=np.uint8
+        )
+        path = write_file(tmp_path, data)
+        cfg = SearchConfig(
+            file_path=path,
+            keyword="わたしたちは",
+            custom_char_seq=self.UNICODE_HIRAGANA,
+            preferred_search_block_size=64,
+            preferred_preview_width=14,
+        )
+        results = SearchEngine(cfg).run(generate_previews=True)
+        assert len(results) == 1
+        assert results[0].offset == 4
+        assert results[0].preview == "あした#わたしたちは#にわに"
+
+    def test_16bit_mode(self, tmp_path):
+        content = "あした、わたしたちは、にわに、はなを、まきます"
+        data = np.array([ord(c) for c in content], dtype=np.uint16)
+        path = write_file(tmp_path, data.astype("<u2"))
+        cfg = SearchConfig(
+            file_path=path,
+            keyword="わたしたちは",
+            custom_char_seq=self.UNICODE_HIRAGANA,
+            element_width=2,
+            preferred_search_block_size=64,
+            preferred_preview_width=14,
+        )
+        results = SearchEngine(cfg).run(generate_previews=True)
+        assert len(results) == 1
+        assert results[0].offset == 8
+        assert results[0].preview == "あした#わたしたちは#にわに"
+
+
+class TestErrorHandling:
+    # ``test_search_engine.cpp:350-360``
+    def test_missing_file_raises(self):
+        cfg = SearchConfig(file_path="path/to/inexistent/file", keyword="abc")
+        with pytest.raises(FileNotFoundError):
+            SearchEngine(cfg).run()
+
+
+class TestProgress:
+    # ``test_search_engine.cpp:362-397``
+    def test_monotonic_with_exact_count(self, tmp_path):
+        path = write_file(tmp_path, np.zeros(128, dtype=np.uint8))
+        cfg = SearchConfig(
+            file_path=path,
+            keyword="text",
+            preferred_search_block_size=16,
+        )
+        history = []
+        SearchEngine(cfg).run(lambda pct, step: history.append(pct))
+        # 8 block callbacks + init + search-start + previews-start
+        assert len(history) == 11
+        assert history[-1] == 100
+        assert all(b >= a for a, b in zip(history, history[1:]))
+
+    def test_reference_semantics_same_count(self, tmp_path):
+        path = write_file(tmp_path, np.zeros(128, dtype=np.uint8))
+        cfg = SearchConfig(
+            file_path=path,
+            keyword="text",
+            preferred_search_block_size=16,
+            semantics=MatchSemantics.REFERENCE,
+        )
+        history = []
+        SearchEngine(cfg).run(lambda pct, step: history.append(pct))
+        assert len(history) == 11
+        assert history[-1] == 100
+
+
+class TestAbort:
+    # ``test_search_engine.cpp:399-427``
+    def test_saboteur_abort(self, tmp_path):
+        path = write_file(
+            tmp_path, text_u8("match#catch#batch#match#patch#hatch#match", 0x30)
+        )
+        cfg = SearchConfig(
+            file_path=path,
+            keyword="match",
+            preferred_search_block_size=5,
+        )
+        abort = threading.Event()
+        count = [0]
+
+        def saboteur(pct, step):
+            count[0] += 1
+            if count[0] >= 5:
+                abort.set()
+
+        results = SearchEngine(cfg).run(saboteur, abort)
+        assert results == []
+        assert count[0] <= 5
+
+
+class TestCustomWildcard:
+    # ``test_search_engine.cpp:429-447``
+    def test_dollar_wildcard(self, tmp_path):
+        path = write_file(
+            tmp_path, text_u8("match#catch#batch#match#patch#hatch#match", -0x15)
+        )
+        cfg = SearchConfig(
+            file_path=path,
+            keyword="$atch",
+            wildcard="$",
+            preferred_search_block_size=20,
+        )
+        results = SearchEngine(cfg).run()
+        assert len(results) == 7
+
+
+class TestBlockMath:
+    def test_compute_search_blocks_parity(self):
+        # overlap = (len-1)*s; starts advance by base; clipped at EOF
+        blocks = compute_search_blocks(64, 4, 1, 29)
+        assert blocks == [(0, 32), (29, 32), (58, 6)]
+        blocks = compute_search_blocks(128, 4, 2, 16)
+        assert blocks == [(i * 16, min(22, 128 - i * 16)) for i in range(8)]

@@ -1,0 +1,230 @@
+"""Dense scan kernel conformance tests (layer L2).
+
+Strategy: the dense kernels must (a) reproduce every reference-corpus result
+under GREEDY semantics, (b) agree with an independently-written brute-force
+window matcher under ALL semantics, and (c) always emit a superset of the
+sequential oracle's offsets.
+"""
+
+import numpy as np
+import pytest
+
+from monkey_moore_tpu.config import MatchSemantics
+from monkey_moore_tpu.dense import dense_candidates, dense_search
+from monkey_moore_tpu.oracle import oracle_search
+from monkey_moore_tpu.pattern import SearchMode, compile_pattern
+from common import HIRAGANA_SEQ, shift_alpha
+
+
+def brute_force_all(pat, data):
+    """Independent window matcher built from the *walker* tables (bridge /
+    mask / expected_diff), not the kernel's check tables."""
+    data = np.asarray(data, dtype=pat.dtype)
+    N, L = len(data), pat.length
+    out = []
+    for p in range(N - L + 1):
+        ok = True
+        if pat.mode in (SearchMode.SIMPLE, SearchMode.VALUE_SCAN):
+            for i in range(1, L):
+                if int(data[p + i]) - int(data[p + i - 1]) != pat.expected_diff[i]:
+                    ok = False
+                    break
+        else:
+            for i in range(L):
+                d = (int(data[p + i]) - int(data[p + i + pat.bridge_offset[i]])) & pat.tmax
+                if (d & int(pat.wc_mask[i])) != int(pat.wc_expected[i]):
+                    ok = False
+                    break
+        if ok:
+            out.append(p)
+    return out
+
+
+CORPORA = []
+
+
+def corpus(name):
+    def deco(fn):
+        CORPORA.append((name, fn))
+        return fn
+    return deco
+
+
+@corpus("ascii-8")
+def _c1():
+    data = shift_alpha([ord(c) for c in "dddccacatchaat"], 3, 3)
+    return compile_pattern("catch"), data
+
+
+@corpus("custom-seq-8")
+def _c2():
+    seq = "aiueobcdfghjklmnpqrstvwxyz"
+    data = np.array([ord(c) for c in "auqqtkcaoaugka"], dtype=np.uint8)
+    return compile_pattern("match", 0, seq), data
+
+
+@corpus("ascii-16")
+def _c3():
+    text = "question of price\0the last wish\0"
+    data = shift_alpha([ord(c) for c in text], -16, -16, dtype=np.uint16)
+    return compile_pattern("price", dtype=np.uint16), data
+
+
+@corpus("hiragana-16")
+def _c4():
+    data = np.array(
+        [1, 12, 16, 110, 44, 16, 12, 16, 17, 26, 110, 22, 44, 22, 110, 26,
+         21, 45, 110, 31, 7, 31, 13],
+        dtype=np.uint16,
+    )
+    return (
+        compile_pattern("わたしたちは", 0, HIRAGANA_SEQ, dtype=np.uint16),
+        data,
+    )
+
+
+@corpus("wildcard-8")
+def _c5():
+    data = shift_alpha([ord(c) for c in "thebittertasteoflemonwithbutter,"], 8, 8)
+    return compile_pattern("b*tter", "*"), data
+
+
+@corpus("mixed-case-8")
+def _c6():
+    data = shift_alpha([ord(c) for c in "TheBitterTruthAboutBetterButter."], -32, 24)
+    return compile_pattern("B*tter", "*"), data
+
+
+@corpus("wildcard-16")
+def _c7():
+    text = "They muttered: Butter, BETTER, Butcher, matter"
+    data = shift_alpha([ord(c) for c in text], 15, -9, dtype=np.uint16)
+    return compile_pattern("But**er", "*", dtype=np.uint16), data
+
+
+@corpus("kanji-seq-16")
+def _c8():
+    seq = HIRAGANA_SEQ + "学校行"
+    data = np.array(
+        [1, 12, 16, 26, 111, 50, 51, 22, 111, 52, 7, 31, 13, 6, 112, 111,
+         44, 16, 12, 35, 111, 52, 7, 16, 2, 113],
+        dtype=np.uint16,
+    )
+    return compile_pattern("**に*行きますか", "*", seq, dtype=np.uint16), data
+
+
+@corpus("value-scan-8")
+def _c9():
+    data = np.array(
+        [0x00, 0x00, 0x25, 0x26, 0x25, 0x26, 0x27, 0x28, 0x29, 0x30, 0x20,
+         0x20, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00, 0x89, 0x00, 0x76,
+         0x77, 0x78, 0x79, 0x7A, 0x81, 0x00, 0x00, 0x01, 0x00, 0x00],
+        dtype=np.uint8,
+    )
+    return compile_pattern(reference_values=[60, 61, 62, 63, 64, 71]), data
+
+
+@corpus("value-scan-16")
+def _c10():
+    data = np.array(
+        [0x0000, 0x0100, 0x0135, 0x0136, 0x0135, 0x0136, 0x0137, 0x0138,
+         0x0139, 0x0140, 0x0120, 0x0120, 0x0000, 0x0100, 0x0101, 0x0000,
+         0x0101, 0x0089, 0x0000, 0x0045, 0x0046, 0x0047, 0x0048, 0x0049,
+         0x0050, 0x0000, 0x0100, 0x0000, 0x0100, 0x0001, 0x0100, 0x0000],
+        dtype=np.uint16,
+    )
+    return (
+        compile_pattern(
+            reference_values=[105, 106, 107, 108, 109, 116], dtype=np.uint16
+        ),
+        data,
+    )
+
+
+@corpus("skip-regression-8")
+def _c11():
+    data = np.array(
+        [0x98, 0x94, 0x00, 0xFF, 0xFF, 0x00, 0x01, 0xA5, 0xA1, 0x94, 0x85,
+         0x98, 0x94],
+        dtype=np.uint8,
+    )
+    return compile_pattern("text"), data
+
+
+@pytest.mark.parametrize("name,make", CORPORA, ids=[n for n, _ in CORPORA])
+class TestKernelVsOracle:
+    def test_greedy_equals_oracle(self, name, make):
+        pat, data = make()
+        dense = dense_search(pat, data, MatchSemantics.GREEDY)
+        expect = oracle_search(pat, data)
+        assert dense == expect
+
+    def test_all_equals_brute_force(self, name, make):
+        pat, data = make()
+        offsets, _ = dense_candidates(pat, data)
+        assert offsets.tolist() == brute_force_all(pat, data)
+
+    def test_all_superset_of_oracle(self, name, make):
+        pat, data = make()
+        offsets, _ = dense_candidates(pat, data)
+        oracle_offs = {o for o, _ in oracle_search(pat, data)}
+        assert oracle_offs <= set(offsets.tolist())
+
+
+class TestFuzzKernelVsBruteForce:
+    @pytest.mark.parametrize("width", [1, 2])
+    def test_random_planted(self, rng, width):
+        dtype = np.uint8 if width == 1 else np.uint16
+        mod = 256 if width == 1 else 65536
+        letters = np.arange(97, 123)
+        for _ in range(25):
+            n = int(rng.integers(20, 3000))
+            data = rng.integers(0, mod, n)
+            kw_len = int(rng.integers(2, 8))
+            kw = rng.choice(letters, kw_len).tolist()
+            use_wc = rng.random() < 0.5
+            if use_wc:
+                for i in range(1, kw_len):  # keep position 0 literal
+                    if rng.random() < 0.25:
+                        kw[i] = ord("*")
+            for _ in range(int(rng.integers(0, 5))):
+                pos = int(rng.integers(0, max(1, n - kw_len)))
+                shift = int(rng.integers(-40, 40))
+                data[pos : pos + kw_len] = (np.array(kw) + shift) % mod
+            pat = compile_pattern(kw, ord("*") if use_wc else 0, dtype=dtype)
+            arr = data.astype(dtype)
+            offsets, _ = dense_candidates(pat, arr)
+            assert offsets.tolist() == brute_force_all(pat, arr), (
+                f"kw={kw} n={n}"
+            )
+            # oracle offsets are always a subset of dense candidates
+            oracle_offs = [o for o, _ in oracle_search(pat, arr)]
+            assert set(oracle_offs) <= set(offsets.tolist())
+
+
+class TestEdges:
+    def test_capacity_overflow_retry(self):
+        # 300 matches with capacity 4 → the retry loop must grow the buffer.
+        data = shift_alpha([ord("a"), ord("b")] * 301, 5, 5)
+        pat = compile_pattern("abab")
+        res = dense_search(pat, data, MatchSemantics.ALL, capacity=4)
+        assert len(res) == brute_force_all(pat, data).__len__()
+
+    def test_data_shorter_than_pattern(self):
+        pat = compile_pattern("catch")
+        assert dense_search(pat, np.zeros(3, dtype=np.uint8)) == []
+
+    def test_greedy_suppression_periodic(self):
+        data = shift_alpha([ord("a")] * 9, 5, 5)
+        pat = compile_pattern("aaaa")
+        res = dense_search(pat, data, MatchSemantics.GREEDY)
+        assert [r[0] for r in res] == [0, 3]
+        res_all = dense_search(pat, data, MatchSemantics.ALL)
+        assert [r[0] for r in res_all] == [0, 1, 2, 3, 4, 5]
+
+    def test_reference_semantics_delegates_to_oracle(self):
+        data = np.array([10, 6, 7, 8, 9, 10, 0, 0, 0, 0], dtype=np.uint8)
+        pat = compile_pattern("abcde")
+        # dense finds the match the reference misses; REFERENCE mode hides it
+        assert dense_search(pat, data, MatchSemantics.ALL)[0][0] == 1
+        assert dense_search(pat, data, MatchSemantics.REFERENCE) == []
