@@ -275,6 +275,24 @@ class SearchEngine:
         suppress = cfg.semantics is MatchSemantics.GREEDY
         for (block_id, a), elems in per_group.items():
             elems = np.array(sorted(elems), dtype=np.int64)
+            if suppress and s > 1:
+                # Block-fit parity filter: the reference's halo is
+                # ``(L-1)*element_size`` bytes (``search_engine.cpp:227``),
+                # one element too short for the shifted alignment grid, so an
+                # odd-aligned match whose window pokes past its owning block's
+                # trimmed element count is silently missed by the reference.
+                # GREEDY mode replicates that; ALL mode reports the match.
+                fit = []
+                for e in elems.tolist():
+                    byte_off, _ = candidate_info[(a, e)]
+                    rel = byte_off - block_id * base
+                    a_loc = rel % s
+                    j = rel // s
+                    size_i = min(base + (L - 1) * s, file_size - block_id * base)
+                    count_i = (size_i - a_loc) // s
+                    if j + L <= count_i:
+                        fit.append(e)
+                elems = np.array(fit, dtype=np.int64)
             if suppress:
                 elems = greedy_suppress(elems, pat.advance)
             for e in elems.tolist():

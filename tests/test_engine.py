@@ -331,6 +331,56 @@ class TestCustomWildcard:
         assert len(results) == 7
 
 
+class TestShortHaloQuirk:
+    """The reference's block halo is ``(L-1)*element_size`` bytes
+    (``search_engine.cpp:227``) — one element short for the odd alignment
+    grid, so an odd-aligned 16-bit match just before a block boundary is
+    missed.  GREEDY and REFERENCE semantics replicate the miss; ALL reports
+    the match."""
+
+    def make_file(self, tmp_path):
+        # base=16, L=4 ("text"): block 0 reads 22 bytes; odd grid count =
+        # floor(21/2) = 10 → last fitting start j=6 (byte 13). A match at
+        # byte 15 (j=7) pokes past the trimmed count and is unreachable from
+        # block 1 (whose odd grid starts at byte 17).
+        raw = np.zeros(40, dtype=np.uint8)
+        enc = np.array([0x94, 0x85, 0x98, 0x94], dtype=np.uint16)
+        raw[15:23] = enc.astype("<u2").view(np.uint8)
+        p = tmp_path / "quirk.bin"
+        p.write_bytes(raw.tobytes())
+        return p
+
+    @pytest.mark.parametrize(
+        "semantics,expected",
+        [
+            (MatchSemantics.GREEDY, []),
+            (MatchSemantics.REFERENCE, []),
+            (MatchSemantics.ALL, [15]),
+        ],
+    )
+    def test_semantics(self, tmp_path, semantics, expected):
+        cfg = SearchConfig(
+            file_path=self.make_file(tmp_path),
+            keyword="text",
+            element_width=2,
+            preferred_search_block_size=16,
+            semantics=semantics,
+        )
+        results = SearchEngine(cfg).run()
+        assert [r.offset for r in results] == expected
+
+    def test_found_with_larger_blocks(self, tmp_path):
+        # With the block boundary elsewhere, all semantics agree.
+        cfg = SearchConfig(
+            file_path=self.make_file(tmp_path),
+            keyword="text",
+            element_width=2,
+            preferred_search_block_size=512,
+        )
+        results = SearchEngine(cfg).run()
+        assert [r.offset for r in results] == [15]
+
+
 class TestBlockMath:
     def test_compute_search_blocks_parity(self):
         # overlap = (len-1)*s; starts advance by base; clipped at EOF

@@ -1,0 +1,116 @@
+"""Multi-device sharding tests (layer L4), on an 8-virtual-CPU-device mesh.
+
+The TPU analog of the reference's partitioning-invariance sweep
+(``tests/test_search_engine.cpp:62-69``): shard-count × data-size sweeps must
+produce results identical to the single-device scan, including matches
+straddling shard boundaries.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from monkey_moore_tpu.dense import dense_candidates
+from monkey_moore_tpu.parallel import (
+    host_byte_range,
+    make_mesh,
+    sharded_candidates,
+)
+from monkey_moore_tpu.pattern import compile_pattern
+
+
+@pytest.fixture(scope="module")
+def devices():
+    return jax.devices()
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+class TestShardingInvariance:
+    def test_matches_single_device(self, devices, n_dev, rng):
+        mesh = make_mesh(devices, n=n_dev)
+        data = rng.integers(0, 256, 4096).astype(np.uint8)
+        pat = compile_pattern("abcde")
+        kw = np.array(pat.keyword, dtype=np.int64)
+        shard = 4096 // n_dev
+        # plant matches: start, mid-shard, exactly straddling each boundary
+        plants = [0, 100]
+        plants += [shard * i - 2 for i in range(1, n_dev)]
+        plants += [4096 - 5]
+        for i, pos in enumerate(plants):
+            data[pos : pos + 5] = ((kw + i) % 256).astype(np.uint8)
+        offs_sharded, vals_sharded = sharded_candidates(pat, data, mesh)
+        offs_single, vals_single = dense_candidates(pat, data)
+        assert offs_sharded.tolist() == offs_single.tolist()
+        assert vals_sharded.tolist() == vals_single.tolist()
+
+    def test_wildcard_16bit(self, devices, n_dev, rng):
+        mesh = make_mesh(devices, n=n_dev)
+        data = rng.integers(0, 65536, 2048).astype(np.uint16)
+        pat = compile_pattern("ab*de", "*", dtype=np.uint16)
+        kw = [97, 98, 0, 100, 101]
+        shard = 2048 // n_dev
+        plants = [7] + [shard * i - 3 for i in range(1, n_dev)]
+        for pos in plants:
+            enc = [(c + 1000) % 65536 if c else 31337 for c in kw]
+            data[pos : pos + 5] = np.array(enc, dtype=np.uint16)
+        offs_sharded, _ = sharded_candidates(pat, data, mesh)
+        offs_single, _ = dense_candidates(pat, data)
+        assert offs_sharded.tolist() == offs_single.tolist()
+
+
+class TestShardEdges:
+    def test_non_divisible_length_padding(self, devices, rng):
+        mesh = make_mesh(devices, n=4)
+        data = rng.integers(0, 256, 1003).astype(np.uint8)  # not divisible
+        pat = compile_pattern("catch")
+        kw = np.array(pat.keyword, dtype=np.int64)
+        data[998:1003] = ((kw + 3) % 256).astype(np.uint8)  # at the very end
+        offs, _ = sharded_candidates(pat, data, mesh)
+        offs_single, _ = dense_candidates(pat, data)
+        assert offs.tolist() == offs_single.tolist()
+        assert 998 in offs.tolist()
+
+    def test_capacity_overflow_retries(self, devices):
+        mesh = make_mesh(devices, n=2)
+        data = np.tile(np.array([97, 98], dtype=np.uint8), 600)  # 599 matches
+        pat = compile_pattern("abab")
+        offs, _ = sharded_candidates(pat, data, mesh, capacity_per_shard=8)
+        offs_single, _ = dense_candidates(pat, data)
+        assert offs.tolist() == offs_single.tolist()
+
+
+class TestHostRanges:
+    def test_ranges_cover_file_with_halo(self):
+        fs, L, s = 1000, 5, 2
+        ranges = [host_byte_range(fs, L, s, index=i, count=4) for i in range(4)]
+        halo = L * s - 1  # lossless: covers both alignment grids
+        base = 250
+        for i, (start, stop) in enumerate(ranges):
+            assert start == min(i * base, fs)
+            assert stop == min(start + base + halo, fs)
+        # every possible match window is inside some host's range
+        for b in range(0, fs - L * s + 1):
+            assert any(
+                start <= b and b + L * s <= stop for start, stop in ranges
+            )
+
+    def test_single_host_covers_all(self):
+        assert host_byte_range(123, 4, 1, index=0, count=1) == (0, 123)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert int(out[0]) >= 0
+
+    def test_dryrun_multichip(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
