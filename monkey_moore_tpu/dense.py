@@ -2,97 +2,201 @@
 
 ``dense_search`` is the TPU-path equivalent of ``MonkeyMoore<Ty>::search``
 (``src/core/monkey_moore.cpp:41-49``): in-memory element array in, list of
-(offset, equivalency_map) out.  The scan runs as one jitted dispatch per
-array; suppression and map materialization are O(matches) host work.
+(offset, equivalency_map) out.
 
-The engine (layer L3) does not call this directly — it drives the chunked
-pipeline in ``engine.py`` — but this is the convenient library API for
-in-memory searches and the conformance-test entry point for the kernels.
+The production scan is **two-phase**:
+
+1. *Device phase* — per-tile match counts at HBM bandwidth (Pallas kernel on
+   TPU, ``ops/scan_pallas.py``; pure-XLA fallback, ``ops/scan_jnp.py``).
+   Only ``4 bytes / 64 KiB`` of counts ever cross the device boundary.
+2. *Host phase* — exact offsets extracted from the (rare) hot tiles with the
+   vectorized NumPy matcher (``ops/scan_np.py``), plus recovery values read
+   straight from the host buffer.
+
+This replaces on-device offset compaction (``jnp.nonzero``), whose scatter
+graph both compiles and runs orders of magnitude slower than the scan itself
+at large chunk sizes.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from .config import MatchSemantics
-from .ops.recover import recover_from_values
-from .ops.scan_jnp import pattern_device_args, scan_chunk
+from .ops.recover import recover_from_values, recovery_shifts
+from .ops.scan_np import match_positions_np
 from .ops.suppress import greedy_suppress
 from .oracle import oracle_search
 from .pattern import CompiledPattern
 
-__all__ = ["dense_search", "dense_candidates"]
+__all__ = [
+    "dense_search",
+    "dense_candidates",
+    "two_phase_candidates",
+    "tile_counts",
+    "TILE_ELEMS",
+]
 
 Result = Tuple[int, Dict[int, int]]
+
+from .ops.scan_pallas import DEFAULT_TILE_ROWS, LANES
+
+TILE_ELEMS = DEFAULT_TILE_ROWS * LANES  # 65536 elements per counted tile
+
+
+def _use_pallas_backend(use_pallas: bool, interpret: bool, tile_elems: int) -> bool:
+    if tile_elems % LANES != 0:
+        return False  # Mosaic tiles are (rows, LANES); tiny test tiles → XLA
+    if interpret:
+        return True
+    if not use_pallas:
+        return False
+    from .ops.scan_pallas import pallas_available
+
+    return pallas_available()
+
+
+def tile_counts(
+    pat: CompiledPattern,
+    arr_device,
+    valid_count: int,
+    use_pallas: bool = True,
+    interpret: bool = False,
+    tile_elems: int = TILE_ELEMS,
+) -> np.ndarray:
+    """Phase 1: int32[T] match counts per tile.
+
+    ``arr_device`` is a device (or host) element array of ``(T+1)*tile_elems``
+    elements — T counted tiles + one halo/padding tile.
+    """
+    from .utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax.numpy as jnp
+
+    if _use_pallas_backend(use_pallas, interpret, tile_elems):
+        from .ops.scan_pallas import tile_counts_pallas
+
+        rows = arr_device.shape[0] // LANES
+        tile_rows = tile_elems // LANES
+        counts = tile_counts_pallas(
+            pat,
+            arr_device.reshape(rows, LANES),
+            valid_count,
+            tile_rows=tile_rows,
+            interpret=interpret,
+        )
+    else:
+        from .ops.scan_jnp import pattern_device_args, tile_counts_xla
+
+        sc, sp, exp, _ = pattern_device_args(pat)
+        counts = tile_counts_xla(
+            arr_device,
+            jnp.int32(valid_count),
+            sc,
+            sp,
+            exp,
+            length=pat.length,
+            signed_compare=pat.signed_compare,
+            tile_elems=tile_elems,
+        )
+    return np.asarray(counts)
+
+
+def two_phase_candidates(
+    pat: CompiledPattern,
+    data: np.ndarray,
+    use_pallas: bool = True,
+    interpret: bool = False,
+    tile_elems: int = TILE_ELEMS,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """All matching window offsets in *data* (host element array), plus the
+    recovery values [M, 2] read from the host buffer."""
+    import jax.numpy as jnp
+
+    data = np.ascontiguousarray(data, dtype=pat.dtype)
+    n = len(data)
+    L = pat.length
+    if n < L:
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 2), dtype=np.int64)
+
+    t_count = -(-n // tile_elems)
+    arr = np.zeros((t_count + 1) * tile_elems, dtype=pat.dtype)
+    arr[:n] = data
+    counts = tile_counts(
+        pat,
+        jnp.asarray(arr),
+        n,
+        use_pallas=use_pallas,
+        interpret=interpret,
+        tile_elems=tile_elems,
+    )
+    return extract_hot_tiles(pat, data, counts, tile_elems)
+
+
+def extract_hot_tiles(
+    pat: CompiledPattern,
+    data: np.ndarray,
+    counts: np.ndarray,
+    tile_elems: int = TILE_ELEMS,
+    grid_offset: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Phase 2: exact offsets + recovery values from tiles with count > 0.
+
+    ``data`` is the host element buffer covering the counted region plus any
+    trailing halo; ``grid_offset`` shifts reported offsets (for chunked
+    scans).  Each hot tile costs one vectorized NumPy pass over
+    ``tile_elems + L - 1`` elements.
+    """
+    n = len(data)
+    L = pat.length
+    shifts = recovery_shifts(pat)
+    hot = np.nonzero(counts)[0]
+    all_offsets = []
+    for t in hot.tolist():
+        s0 = t * tile_elems
+        sl = data[s0 : min(n, s0 + tile_elems + L - 1)]
+        pos = match_positions_np(pat, sl)
+        pos = pos[pos < tile_elems] + s0
+        all_offsets.append(pos)
+    if not all_offsets:
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 2), dtype=np.int64)
+    offsets = np.concatenate(all_offsets)
+    values = np.stack(
+        [
+            data[np.minimum(offsets + shifts[0], n - 1)].astype(np.int64),
+            data[
+                np.minimum(
+                    offsets + (shifts[1] if len(shifts) > 1 else shifts[0]),
+                    n - 1,
+                )
+            ].astype(np.int64),
+        ],
+        axis=1,
+    )
+    return offsets + grid_offset, values
 
 
 def dense_candidates(
     pat: CompiledPattern,
     data: np.ndarray,
-    capacity: int = 65536,
     use_pallas: bool = True,
+    interpret: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """All matching window offsets in *data*, plus recovery values [M, 2].
-
-    Retries with doubled capacity on overflow of the fixed-size device
-    match buffer.
-    """
-    data = np.ascontiguousarray(data, dtype=pat.dtype)
-    n = len(data)
-    if n < pat.length:
-        return np.zeros(0, dtype=np.int64), np.zeros((0, 2), dtype=np.int64)
-
-    kernel = _select_kernel(use_pallas)
-    sc, sp, exp, rec = pattern_device_args(pat)
-    # Pad to the next power-of-two bucket (>=256) so jit executables are
-    # shared across data lengths; padded windows are masked via valid_count.
-    padded = max(256, 1 << (n - 1).bit_length())
-    if padded != n:
-        data = np.pad(data, (0, padded - n))
-    d = jnp.asarray(data)
-    valid = jnp.int32(n)
-    while True:
-        count, offsets, values = kernel(
-            d,
-            valid,
-            sc,
-            sp,
-            exp,
-            rec,
-            length=pat.length,
-            signed_compare=pat.signed_compare,
-            capacity=capacity,
-        )
-        count = int(count)
-        if count <= capacity:
-            break
-        capacity = max(capacity * 2, 1 << (int(count) - 1).bit_length())
-    offsets = np.asarray(offsets[:count], dtype=np.int64)
-    values = np.asarray(values[:count], dtype=np.int64)
-    return offsets, values
-
-
-def _select_kernel(use_pallas: bool):
-    if use_pallas:
-        try:
-            from .ops.scan_pallas import scan_chunk_pallas, pallas_available
-
-            if pallas_available():
-                return scan_chunk_pallas
-        except ImportError:
-            pass
-    return scan_chunk
+    """All matching window offsets in *data*, plus recovery values [M, 2]."""
+    return two_phase_candidates(
+        pat, data, use_pallas=use_pallas, interpret=interpret
+    )
 
 
 def dense_search(
     pat: CompiledPattern,
     data: np.ndarray,
     semantics: MatchSemantics = MatchSemantics.GREEDY,
-    capacity: int = 65536,
     use_pallas: bool = True,
+    interpret: bool = False,
 ) -> List[Result]:
     """Search an in-memory element array; returns [(offset, values_map), ...].
 
@@ -104,8 +208,8 @@ def dense_search(
     if semantics is MatchSemantics.REFERENCE:
         return oracle_search(pat, data)
 
-    offsets, values = dense_candidates(
-        pat, data, capacity=capacity, use_pallas=use_pallas
+    offsets, values = two_phase_candidates(
+        pat, data, use_pallas=use_pallas, interpret=interpret
     )
     if semantics is MatchSemantics.GREEDY and len(offsets) > 1:
         kept = greedy_suppress(offsets, pat.advance)

@@ -45,9 +45,9 @@ from .config import (
     SearchResult,
     SearchStep,
 )
-from .ops.recover import recover_from_values, recovery_shifts
+from .ops.recover import recover_from_values
 from .ops.suppress import greedy_suppress
-from .oracle import oracle_search
+from .oracle import reference_walk
 from .pattern import CompiledPattern, compile_pattern
 from .preview import decode_elements, generate_preview
 from .utils.logging import log
@@ -191,9 +191,9 @@ class SearchEngine:
 
     # ------------------------------------------------------------------
     def _scan_dense(self, pat, data, file_size, blocks, progress, aborted):
-        """Dense device scan + per-(block, alignment) greedy suppression."""
-        from .ops.scan_jnp import pattern_device_args
-        from .dense import _select_kernel
+        """Two-phase dense scan (device tile counts + host hot-tile
+        extraction) with per-(block, alignment) greedy suppression."""
+        from .dense import TILE_ELEMS, extract_hot_tiles, tile_counts
 
         import jax.numpy as jnp
 
@@ -201,12 +201,13 @@ class SearchEngine:
         s = cfg.element_width
         L = pat.length
         base = cfg.preferred_search_block_size
-        chunk_elems = max(L, cfg.device_chunk_bytes // s)
-        capacity = cfg.max_matches_per_chunk
 
-        kernel = _select_kernel(cfg.use_pallas)
-        sc, sp, exp, rec = pattern_device_args(pat)
-        rec_shifts = recovery_shifts(pat)
+        # Chunk span is a whole number of count tiles; each chunk array adds
+        # one halo/padding tile so cross-chunk windows read real data.
+        desired = max(L, cfg.device_chunk_bytes // s)
+        tile_elems = min(TILE_ELEMS, 1 << (desired - 1).bit_length())
+        tiles_per_chunk = max(1, desired // tile_elems)
+        chunk_elems = tiles_per_chunk * tile_elems
 
         # (byte_offset, element_offset_in_grid, align, values) per candidate
         per_group: dict = {}
@@ -230,31 +231,21 @@ class SearchEngine:
                 if count_here < L:
                     continue
                 arr = self._decode_grid(data, a, e0, count_here)
-                # pad to the static chunk shape (shared executable)
-                want = chunk_elems + L - 1
-                pad_to = want if n_chunks > 1 or want < 4096 else min(
-                    want, max(256, 1 << (count_here - 1).bit_length())
+                want = (tiles_per_chunk + 1) * tile_elems
+                if len(arr) < want:
+                    arr = np.pad(arr, (0, want - len(arr)))
+                counts = tile_counts(
+                    pat,
+                    jnp.asarray(arr),
+                    count_here,
+                    use_pallas=cfg.use_pallas,
+                    tile_elems=tile_elems,
                 )
-                if len(arr) < pad_to:
-                    arr = np.pad(arr, (0, pad_to - len(arr)))
-                cap = capacity
-                while True:
-                    count, offsets, values = kernel(
-                        jnp.asarray(arr),
-                        jnp.int32(count_here),
-                        sc, sp, exp, rec,
-                        length=L,
-                        signed_compare=pat.signed_compare,
-                        capacity=cap,
+                if counts.any():
+                    offs, vals = extract_hot_tiles(
+                        pat, arr[: count_here], counts, tile_elems
                     )
-                    count = int(count)
-                    if count <= cap:
-                        break
-                    cap = max(cap * 2, 1 << (count - 1).bit_length())
-                if count:
-                    offs = np.asarray(offsets[:count], dtype=np.int64)
-                    vals = np.asarray(values[:count], dtype=np.int64)
-                    # chunk scans only emit starts within [0, chunk_elems)
+                    # chunk scans only own starts within [0, chunk_elems)
                     keep = offs < chunk_elems
                     offs, vals = offs[keep], vals[keep]
                     for off, val in zip(offs.tolist(), vals.tolist()):
@@ -318,7 +309,7 @@ class SearchEngine:
                 arr = decode_elements(
                     raw[a : a + count * s].tobytes(), s, cfg.endianness
                 )
-                for pos, vmap in oracle_search(pat, arr):
+                for pos, vmap in reference_walk(pat, arr):
                     results.append((offset + pos * s + a, vmap))
             if not tracker.step():
                 return None

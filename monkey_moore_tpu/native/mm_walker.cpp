@@ -1,0 +1,157 @@
+// SPDX-License-Identifier: GPL-3.0-or-later
+//
+// Native exact-semantics walker for MatchSemantics::REFERENCE.
+//
+// Replays the reference's sequential Boyer-Moore walk (the same dynamics as
+// monkey_moore_tpu/oracle.py, which mirrors /root/reference
+// src/core/monkey_moore.cpp:316-410 and :425-546) at C speed over host
+// buffers.  Used by the engine when bit-identical reference behavior is
+// requested on large files, where the Python oracle would be too slow.
+//
+// Design differences from the reference implementation (this is not a copy):
+// tables are precompiled in Python (pattern.py) and passed in as flat
+// arrays; one templated walker covers u8/u16; results are element offsets
+// only (equivalency maps are recovered in Python from the offsets).
+
+#include <cstdint>
+#include <cstddef>
+
+namespace {
+
+// Simple/value-scan walk: signed adjacent-diff compare, wrap-around pair,
+// post-match advance L-1, bad-character jump max(skip[v+tmax], 1).
+template <typename Ty>
+int64_t walk_simple(const Ty *data, int64_t n, int32_t L,
+                    const int32_t *expected_diff, const int32_t *skip,
+                    int32_t tmax, int64_t *out, int64_t cap) {
+  int64_t count = 0;
+  int64_t p = 0;
+  while (p + L <= n) {
+    int32_t mismatch_v = 0;
+    bool failed = false;
+    for (int32_t k = L - 1; k > 0; --k) {
+      int32_t diff = (int32_t)data[p + k] - (int32_t)data[p + k - 1];
+      if (diff != expected_diff[k]) {
+        mismatch_v = diff;
+        failed = true;
+        break;
+      }
+    }
+    if (!failed) {
+      // wrap-around pair (telescopes to truth, kept for parity of structure)
+      int32_t diff0 = (int32_t)data[p] - (int32_t)data[p + L - 1];
+      if (diff0 != expected_diff[0]) {
+        mismatch_v = diff0;
+        failed = true;
+      }
+    }
+    if (!failed) {
+      if (count < cap) out[count] = p;
+      ++count;
+      p += L - 1;
+    } else {
+      int32_t jump = skip[mismatch_v + tmax];
+      p += jump > 1 ? jump : 1;
+    }
+  }
+  return count;
+}
+
+// Wildcard walk: masked unsigned bridged-diff compare, advance
+// L-1-leading_wildcards, jump min(wildcard_skip, max(skip, 1)).
+template <typename Ty>
+int64_t walk_wildcard(const Ty *data, int64_t n, int32_t L,
+                      const int32_t *bridge, const uint32_t *wc_expected,
+                      const uint32_t *wc_mask, const int32_t *skip,
+                      const int32_t *wskip, int32_t tmax, int32_t advance,
+                      int64_t *out, int64_t cap) {
+  int64_t count = 0;
+  int64_t p = 0;
+  const uint32_t ty_mask = (uint32_t)tmax;  // 0xFF / 0xFFFF
+  while (p + L <= n) {
+    int32_t matches = 0;
+    int32_t mismatch_v = 0;
+    for (; matches < L; ++matches) {
+      int32_t i = L - matches - 1;
+      uint32_t cur = data[p + i];
+      uint32_t prev = data[p + i + bridge[i]];
+      uint32_t diff = (cur - prev) & ty_mask;  // element-width wraparound
+      if ((diff & wc_mask[i]) != wc_expected[i]) {
+        mismatch_v = (int32_t)cur - (int32_t)prev;
+        break;
+      }
+    }
+    if (matches == L) {
+      if (count < cap) out[count] = p;
+      ++count;
+      p += advance;
+    } else {
+      int32_t i = L - matches - 1;
+      int32_t bc = skip[mismatch_v + tmax];
+      if (bc < 1) bc = 1;
+      int32_t jump = wskip[i] < bc ? wskip[i] : bc;
+      p += jump;
+    }
+  }
+  return count;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t mm_walk_simple_u8(const uint8_t *data, int64_t n, int32_t L,
+                          const int32_t *expected_diff, const int32_t *skip,
+                          int32_t tmax, int64_t *out, int64_t cap) {
+  return walk_simple(data, n, L, expected_diff, skip, tmax, out, cap);
+}
+
+int64_t mm_walk_simple_u16(const uint16_t *data, int64_t n, int32_t L,
+                           const int32_t *expected_diff, const int32_t *skip,
+                           int32_t tmax, int64_t *out, int64_t cap) {
+  return walk_simple(data, n, L, expected_diff, skip, tmax, out, cap);
+}
+
+int64_t mm_walk_wc_u8(const uint8_t *data, int64_t n, int32_t L,
+                      const int32_t *bridge, const uint32_t *wc_expected,
+                      const uint32_t *wc_mask, const int32_t *skip,
+                      const int32_t *wskip, int32_t tmax, int32_t advance,
+                      int64_t *out, int64_t cap) {
+  return walk_wildcard(data, n, L, bridge, wc_expected, wc_mask, skip, wskip,
+                       tmax, advance, out, cap);
+}
+
+int64_t mm_walk_wc_u16(const uint16_t *data, int64_t n, int32_t L,
+                       const int32_t *bridge, const uint32_t *wc_expected,
+                       const uint32_t *wc_mask, const int32_t *skip,
+                       const int32_t *wskip, int32_t tmax, int32_t advance,
+                       int64_t *out, int64_t cap) {
+  return walk_wildcard(data, n, L, bridge, wc_expected, wc_mask, skip, wskip,
+                       tmax, advance, out, cap);
+}
+
+// Dense helper: vectorizable branch-free candidate matcher used by the
+// native CPU fallback when JAX is unavailable (scan all positions, signed
+// adjacent-diff mode).  Returns count; fills up to cap offsets.
+int64_t mm_dense_simple_u8(const uint8_t *data, int64_t n, int32_t L,
+                           const int32_t *expected_diff, int64_t *out,
+                           int64_t cap) {
+  int64_t count = 0;
+  for (int64_t p = 0; p + L <= n; ++p) {
+    bool ok = true;
+    for (int32_t k = 1; k < L; ++k) {
+      if ((int32_t)data[p + k] - (int32_t)data[p + k - 1] !=
+          expected_diff[k]) {
+        ok = false;
+        break;
+      }
+    }
+    if (ok) {
+      if (count < cap) out[count] = p;
+      ++count;
+    }
+  }
+  return count;
+}
+
+}  // extern "C"

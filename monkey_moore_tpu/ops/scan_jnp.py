@@ -33,6 +33,7 @@ __all__ = [
     "match_bitmap",
     "compact_matches",
     "scan_chunk",
+    "tile_counts_xla",
     "pattern_device_args",
 ]
 
@@ -134,6 +135,41 @@ def compact_matches(
         bitmap, size=capacity, fill_value=-1
     )[0].astype(jnp.int32)
     return count, offsets
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("length", "signed_compare", "tile_elems"),
+)
+def tile_counts_xla(
+    data: jnp.ndarray,
+    valid_count: jnp.ndarray,
+    shift_cur: jnp.ndarray,
+    shift_prev: jnp.ndarray,
+    expected: jnp.ndarray,
+    *,
+    length: int,
+    signed_compare: bool,
+    tile_elems: int,
+) -> jnp.ndarray:
+    """Per-tile match counts (phase 1 of the two-phase scan) — pure-XLA
+    fallback for :func:`..scan_pallas.tile_counts_pallas`.
+
+    Contract (shared with the Pallas kernel): ``data`` holds
+    ``(T+1) * tile_elems`` elements — T counted tiles plus one trailing tile
+    of halo/padding, so every counted window reads inside the array.  Returns
+    int32[T]; only these counts cross the device boundary — exact offsets are
+    recovered on host from the hot tiles (``scan_np.py``).
+    """
+    n = data.shape[0]
+    counted = n - tile_elems
+    bitmap = match_bitmap(
+        data, valid_count, length, shift_cur, shift_prev, expected,
+        signed_compare,
+    )
+    return jnp.sum(
+        bitmap[:counted].astype(jnp.int32).reshape(-1, tile_elems), axis=1
+    )
 
 
 @functools.partial(

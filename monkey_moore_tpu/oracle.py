@@ -28,7 +28,7 @@ import numpy as np
 from .ops.recover import recover_from_values, recovery_shifts
 from .pattern import CompiledPattern, SearchMode, compile_pattern
 
-__all__ = ["oracle_search", "OracleSearcher"]
+__all__ = ["oracle_search", "reference_walk", "OracleSearcher"]
 
 Result = Tuple[int, Dict[int, int]]
 
@@ -145,6 +145,27 @@ def _walk_wildcard(pat: CompiledPattern, data: np.ndarray) -> List[Result]:
             )  # ``:531-538``
             p += jump
     return results
+
+
+def reference_walk(pat: CompiledPattern, data) -> List[Result]:
+    """Exact reference-semantics walk, preferring the native C++ walker
+    (``native/mm_walker.cpp``) and falling back to the Python oracle.
+
+    Both replay identical dynamics; the native path exists because the
+    sequential walk is inherently scalar work where C is ~100x Python."""
+    data = _as_elements(data, pat.dtype)
+    try:
+        from .native import native_walk
+
+        offsets = native_walk(pat, data)
+    except Exception:
+        offsets = None
+    if offsets is None:
+        return oracle_search(pat, data)
+    if pat.length < 2 or pat.advance <= 0:
+        # keep the oracle's guard semantics for degenerate patterns
+        return oracle_search(pat, data)
+    return [_emit(pat, data, int(p)) for p in offsets]
 
 
 class OracleSearcher:

@@ -1,0 +1,85 @@
+"""Native C++ walker tests: builds the shared library and fuzzes it against
+the Python oracle across all modes."""
+
+import numpy as np
+import pytest
+
+from monkey_moore_tpu.native import build_library, native_available, native_walk
+from monkey_moore_tpu.oracle import oracle_search, reference_walk
+from monkey_moore_tpu.pattern import compile_pattern
+
+pytestmark = pytest.mark.skipif(
+    build_library() is None, reason="g++ unavailable"
+)
+
+
+class TestNativeWalker:
+    def test_available(self):
+        assert native_available()
+
+    @pytest.mark.parametrize("width", [1, 2])
+    def test_fuzz_simple_vs_oracle(self, rng, width):
+        dtype = np.uint8 if width == 1 else np.uint16
+        mod = 256 if width == 1 else 65536
+        letters = np.arange(97, 123)
+        for _ in range(40):
+            n = int(rng.integers(10, 3000))
+            data = rng.integers(0, mod, n)
+            kw = rng.choice(letters, int(rng.integers(2, 8))).tolist()
+            for _ in range(int(rng.integers(0, 4))):
+                pos = int(rng.integers(0, max(1, n - len(kw))))
+                data[pos : pos + len(kw)] = (
+                    np.array(kw) + int(rng.integers(-30, 30))
+                ) % mod
+            pat = compile_pattern(kw, dtype=dtype)
+            arr = data.astype(dtype)
+            native = native_walk(pat, arr)
+            oracle = [o for o, _ in oracle_search(pat, arr)]
+            assert native.tolist() == oracle
+
+    @pytest.mark.parametrize("width", [1, 2])
+    def test_fuzz_wildcard_vs_oracle(self, rng, width):
+        dtype = np.uint8 if width == 1 else np.uint16
+        mod = 256 if width == 1 else 65536
+        letters = np.arange(97, 123)
+        for _ in range(40):
+            n = int(rng.integers(10, 2000))
+            data = rng.integers(0, mod, n)
+            kw = rng.choice(letters, int(rng.integers(3, 8))).tolist()
+            for i in range(1, len(kw) - 1):
+                if rng.random() < 0.3:
+                    kw[i] = ord("*")
+            pat = compile_pattern(kw, "*", dtype=dtype)
+            if pat.advance <= 0:
+                continue
+            for _ in range(int(rng.integers(0, 4))):
+                pos = int(rng.integers(0, max(1, n - len(kw))))
+                data[pos : pos + len(kw)] = (
+                    np.array(kw) + int(rng.integers(-30, 30))
+                ) % mod
+            arr = data.astype(dtype)
+            native = native_walk(pat, arr)
+            oracle = [o for o, _ in oracle_search(pat, arr)]
+            assert native.tolist() == oracle
+
+    def test_skip_overshoot_parity(self):
+        # the native walker must reproduce the reference's missed match
+        data = np.array([10, 6, 7, 8, 9, 10, 0, 0, 0, 0], dtype=np.uint8)
+        pat = compile_pattern("abcde")
+        assert native_walk(pat, data).tolist() == []
+
+    def test_overflow_retry(self):
+        # >65536 matches force the exact-size retry path
+        data = np.tile(np.array([97, 98], dtype=np.uint8), 80000)
+        pat = compile_pattern("abab")
+        native = native_walk(pat, data)
+        oracle = [o for o, _ in oracle_search(pat, data)]
+        assert native.tolist() == oracle
+        assert len(native) > 65536 // 2
+
+    def test_reference_walk_returns_maps(self):
+        data = (np.array([ord(c) for c in "xxcatchyy"]) + 3).astype(np.uint8)
+        pat = compile_pattern("catch")
+        results = reference_walk(pat, data)
+        assert results == oracle_search(pat, data)
+        assert results[0][1][ord("a")] == ord("a") + 3

@@ -203,12 +203,13 @@ class TestFuzzKernelVsBruteForce:
 
 
 class TestEdges:
-    def test_capacity_overflow_retry(self):
-        # 300 matches with capacity 4 → the retry loop must grow the buffer.
+    def test_many_matches(self):
+        # dense matches at every even position — hot-tile extraction must
+        # return them all.
         data = shift_alpha([ord("a"), ord("b")] * 301, 5, 5)
         pat = compile_pattern("abab")
-        res = dense_search(pat, data, MatchSemantics.ALL, capacity=4)
-        assert len(res) == brute_force_all(pat, data).__len__()
+        res = dense_search(pat, data, MatchSemantics.ALL)
+        assert len(res) == len(brute_force_all(pat, data))
 
     def test_data_shorter_than_pattern(self):
         pat = compile_pattern("catch")
@@ -228,3 +229,42 @@ class TestEdges:
         # dense finds the match the reference misses; REFERENCE mode hides it
         assert dense_search(pat, data, MatchSemantics.ALL)[0][0] == 1
         assert dense_search(pat, data, MatchSemantics.REFERENCE) == []
+
+
+class TestPallasKernelInterpret:
+    """Validates the Mosaic tile-count kernel's logic on CPU via Pallas
+    interpret mode (the TPU path compiles the same kernel)."""
+
+    @pytest.mark.parametrize("name,make", CORPORA, ids=[n for n, _ in CORPORA])
+    def test_counts_match_brute_force(self, name, make):
+        import jax.numpy as jnp
+        from monkey_moore_tpu.dense import TILE_ELEMS, tile_counts
+
+        pat, data = make()
+        n = len(data)
+        arr = np.zeros(2 * TILE_ELEMS, dtype=pat.dtype)
+        arr[:n] = data
+        counts = tile_counts(
+            pat, jnp.asarray(arr), n, interpret=True, tile_elems=TILE_ELEMS
+        )
+        assert counts.shape == (1,)
+        assert int(counts[0]) == len(brute_force_all(pat, data))
+
+    def test_cross_tile_window_counted(self):
+        import jax.numpy as jnp
+        from monkey_moore_tpu.dense import TILE_ELEMS, tile_counts
+
+        pat = compile_pattern("abcde")
+        n = 2 * TILE_ELEMS + 100  # 2 counted tiles + partial
+        arr = np.zeros(4 * TILE_ELEMS, dtype=np.uint8)
+        kw = (np.array(pat.keyword) + 3).astype(np.uint8)
+        # straddles the tile-0/tile-1 boundary
+        arr[TILE_ELEMS - 2 : TILE_ELEMS + 3] = kw
+        # inside tile 1
+        arr[TILE_ELEMS + 50 : TILE_ELEMS + 55] = kw
+        # beyond valid → must not count
+        arr[n - 2 : n + 3] = kw
+        counts = tile_counts(
+            pat, jnp.asarray(arr), n, interpret=True, tile_elems=TILE_ELEMS
+        )
+        assert counts.tolist() == [1, 1, 0]
