@@ -1,0 +1,287 @@
+"""Command-line interface (layer L5).
+
+The headless counterpart of the reference's GUI application: everything the
+wx frontend exposes (``src/gui/monkey_frame.cpp``) is reachable here —
+relative search, value scan, wildcards, custom sequences (named or literal),
+8/16-bit widths, endianness, previews, result dedup by equivalency map,
+hex/dec offsets, Thingy-table export — plus the TPU-native knobs (match
+semantics, device chunk size).
+
+Usage::
+
+    python -m monkey_moore_tpu search ROM.bin monkey --previews
+    python -m monkey_moore_tpu search ROM.sfc タイトル --seq hiragana --width 16
+    python -m monkey_moore_tpu value-scan ROM.bin 60 61 62 63
+    python -m monkey_moore_tpu export-tbl ROM.bin monkey --match 0 -o out.tbl
+    python -m monkey_moore_tpu sequences list
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import threading
+import time
+from pathlib import Path
+
+from .config import Endianness, MatchSemantics, SearchConfig, SearchStep
+from .engine import SearchEngine
+from .prefs import Prefs
+from .sequences import SequenceStore
+from .tables import build_table_data, save_tbl
+from .validate import ValidationError, check_keyword, parse_value_scan
+
+__all__ = ["main", "build_parser"]
+
+
+def _resolve_sequence(spec: str) -> str:
+    """--seq accepts a store name (case-insensitive substring, e.g.
+    'hiragana') or a literal character sequence."""
+    if not spec:
+        return ""
+    store = SequenceStore()
+    for name in store.names():
+        if spec.lower() in name.lower():
+            return store.get(name)
+    return spec
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--width", type=int, choices=(8, 16), default=8,
+                   help="element width in bits (default 8)")
+    p.add_argument("--endian", choices=("little", "big"), default="little")
+    p.add_argument("--semantics", choices=("greedy", "reference", "all"),
+                   default="greedy",
+                   help="match semantics (see MatchSemantics docs)")
+    p.add_argument("--block-size", type=int, default=524288,
+                   help="logical search block size in bytes")
+    p.add_argument("--chunk-bytes", type=int, default=64 * 1024 * 1024,
+                   help="device chunk size in bytes")
+    p.add_argument("--previews", action="store_true",
+                   help="generate decoded context previews")
+    p.add_argument("--preview-width", type=int, default=50)
+    p.add_argument("--offsets", choices=("hex", "dec"), default="hex")
+    p.add_argument("--dedup", action="store_true",
+                   help="show only the first result per distinct "
+                        "equivalency map (GUI 'show all results' off)")
+    p.add_argument("--no-progress", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (no TPU)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="monkey_moore_tpu",
+        description="TPU-native relative search for binaries with unknown "
+                    "text encodings.",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("search", help="relative search for a keyword")
+    s.add_argument("file")
+    s.add_argument("keyword")
+    s.add_argument("--wildcard", default="*", help="wildcard character")
+    s.add_argument("--no-wildcard", action="store_true",
+                   help="treat the wildcard character literally")
+    s.add_argument("--seq", default="",
+                   help="custom character sequence (literal or store name)")
+    _add_common(s)
+
+    v = sub.add_parser("value-scan", help="search for a raw value pattern")
+    v.add_argument("file")
+    v.add_argument("values", nargs="+",
+                   help="non-negative decimal values of the pattern")
+    _add_common(v)
+
+    t = sub.add_parser("export-tbl",
+                       help="search, then export a Thingy .tbl for a match")
+    t.add_argument("file")
+    t.add_argument("keyword")
+    t.add_argument("--wildcard", default="*")
+    t.add_argument("--seq", default="")
+    t.add_argument("--match", type=int, default=0,
+                   help="index of the match whose map to export")
+    t.add_argument("-o", "--output", required=True)
+    t.add_argument("--encoding", choices=("ansi", "utf-8", "utf-16"),
+                   default="utf-8")
+    _add_common(t)
+
+    q = sub.add_parser("sequences", help="manage named character sequences")
+    q.add_argument("action", choices=("list", "show", "add", "remove"))
+    q.add_argument("name", nargs="?")
+    q.add_argument("value", nargs="?")
+    q.add_argument("--store", default=None,
+                   help="path of the sequences XML file")
+
+    b = sub.add_parser("bench", help="run the scan benchmark")
+
+    return ap
+
+
+def _make_config(args, keyword="", seq="", values=()) -> SearchConfig:
+    return SearchConfig(
+        file_path=args.file,
+        is_relative_search=not values,
+        keyword=keyword,
+        custom_char_seq=seq,
+        wildcard=getattr(args, "wildcard", "*"),
+        reference_values=list(values),
+        element_width=args.width // 8,
+        endianness=Endianness.LITTLE if args.endian == "little" else Endianness.BIG,
+        preferred_search_block_size=args.block_size,
+        preferred_preview_width=args.preview_width,
+        device_chunk_bytes=args.chunk_bytes,
+        semantics=MatchSemantics(args.semantics),
+    )
+
+
+def _progress_printer(enabled: bool):
+    last = [-1]
+
+    def cb(pct: int, step: SearchStep) -> None:
+        if not enabled:
+            return
+        if pct != last[0] or step != SearchStep.SEARCHING:
+            last[0] = pct
+            print(f"\r[{step.name.lower():<20}] {pct:3d}%",
+                  end="", file=sys.stderr, flush=True)
+
+    return cb
+
+
+def _print_results(results, cfg: SearchConfig, args) -> None:
+    width = cfg.element_width
+    digits = width * 2
+    seen_maps = []
+    shown = 0
+    for r in results:
+        if args.dedup:
+            if r.values_map in seen_maps:
+                continue
+            seen_maps.append(r.values_map)
+        off = f"0x{r.offset:X}" if args.offsets == "hex" else str(r.offset)
+        # values column with display byteswap (bytes in file order),
+        # mirroring ShowResults (``monkey_frame.cpp:1253-1262``)
+        parts = []
+        for char, value in r.values_map.items():
+            v = int(value)
+            if width > 1 and cfg.endianness is Endianness.LITTLE:
+                v = ((v & 0xFF) << 8) | ((v >> 8) & 0xFF)
+            parts.append(f"{chr(char)}={v:0{digits}X}")
+        line = f"{off}\t{' '.join(parts)}"
+        if r.preview:
+            line += f"\t{r.preview}"
+        print(line)
+        shown += 1
+    print(f"{shown} result(s)", file=sys.stderr)
+
+
+def _run_search(args, cfg: SearchConfig):
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    abort = threading.Event()
+    progress = _progress_printer(not args.no_progress)
+    try:
+        t0 = time.time()
+        results = SearchEngine(cfg).run(progress, abort, args.previews)
+        if not args.no_progress:
+            print(f"\relapsed: {time.time() - t0:.2f}s" + " " * 20,
+                  file=sys.stderr)
+        return results
+    except KeyboardInterrupt:
+        abort.set()
+        print("\naborted", file=sys.stderr)
+        return []
+    except FileNotFoundError:
+        print(f"error: unable to open {cfg.file_path}: file not found.",
+              file=sys.stderr)
+        raise SystemExit(1)
+    except ValueError as e:  # PatternError subclasses ValueError
+        print(f"error: {e}", file=sys.stderr)
+        raise SystemExit(2)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.command == "search":
+        seq = _resolve_sequence(args.seq)
+        wc = "" if args.no_wildcard else args.wildcard
+        warning = check_keyword(args.keyword, wc or None, seq)
+        if warning is not None:
+            print(f"error: {warning.value}", file=sys.stderr)
+            return 2
+        cfg = _make_config(args, keyword=args.keyword, seq=seq)
+        if args.no_wildcard:
+            cfg.wildcard = 0
+        results = _run_search(args, cfg)
+        _print_results(results, cfg, args)
+        return 0
+
+    if args.command == "value-scan":
+        try:
+            values = parse_value_scan(" ".join(args.values))
+        except ValidationError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        cfg = _make_config(args, values=values)
+        results = _run_search(args, cfg)
+        _print_results(results, cfg, args)
+        return 0
+
+    if args.command == "export-tbl":
+        seq = _resolve_sequence(args.seq)
+        cfg = _make_config(args, keyword=args.keyword, seq=seq)
+        results = _run_search(args, cfg)
+        if not results:
+            print("error: no results to create a table from.", file=sys.stderr)
+            return 1
+        if not (0 <= args.match < len(results)):
+            print(f"error: match index out of range (0..{len(results)-1})",
+                  file=sys.stderr)
+            return 2
+        table = build_table_data(
+            results[args.match].values_map, cfg.element_width, cfg.endianness
+        )
+        save_tbl(args.output, table, args.encoding)
+        print(f"table with {len(table)} entries saved to {args.output}",
+              file=sys.stderr)
+        return 0
+
+    if args.command == "sequences":
+        store = SequenceStore()
+        path = Path(args.store) if args.store else None
+        if path and path.exists():
+            store.load(path)
+        if args.action == "list":
+            for name in store.names():
+                print(name)
+        elif args.action == "show":
+            print(store.get(args.name))
+        elif args.action == "add":
+            if not args.name or not args.value:
+                print("error: add requires NAME and VALUE", file=sys.stderr)
+                return 2
+            store.add(args.name, args.value)
+            if path:
+                store.save(path)
+        elif args.action == "remove":
+            store.remove(args.name)
+            if path:
+                store.save(path)
+        return 0
+
+    if args.command == "bench":
+        import runpy
+
+        runpy.run_path(str(Path(__file__).resolve().parent.parent / "bench.py"),
+                       run_name="__main__")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

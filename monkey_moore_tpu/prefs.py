@@ -1,0 +1,116 @@
+"""Preference store.
+
+Mirror of ``MonkeyPrefs`` (``src/gui/monkey_prefs.cpp``): a flat
+``"category/name" → string`` map with typed accessors, versioned XML
+persistence (``<monkey-moore-config version=...>`` with one element per
+category and ``value`` attributes per property, ``monkey_prefs.cpp:46-94``),
+and factory defaults (``monkey_prefs.cpp:20-44``) including the performance
+knobs that feed :class:`~monkey_moore_tpu.config.SearchConfig`
+(``perf-memory-pool`` = 8 MiB block size, ``perf-search-threads`` = 4).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from pathlib import Path
+from typing import Dict, Union
+
+__all__ = ["PrefsError", "Prefs", "PREFS_VERSION"]
+
+PREFS_VERSION = "1.1.0"  # MM_VERSION (``constants.hpp:8``)
+_ROOT_TAG = "monkey-moore-config"
+
+
+class PrefsError(Exception):
+    """Parse failure / version mismatch (mirrors ``monkeymoore_error`` with
+    MMError_ConfigParseFailed / MMError_ConfigVersionMismatch)."""
+
+
+class Prefs:
+    def __init__(self):
+        self.values: Dict[str, str] = {}
+        self.set_default_values()
+
+    def set_default_values(self) -> None:
+        """Factory defaults (``monkey_prefs.cpp:20-44``), minus the
+        window-geometry entries that only make sense for the wx GUI."""
+        self.values = {
+            "settings/ui-center-window": "true",
+            "settings/ui-remember-size": "true",
+            "settings/ui-remember-position": "false",
+            "settings/ui-remember-state": "true",
+            "settings/display-preview-width": "50",
+            "settings/display-offset-mode": "hex",
+            "settings/perf-memory-pool": "8388608",
+            "settings/perf-search-threads": "4",
+            # TPU-native additions
+            "settings/perf-device-chunk": str(64 * 1024 * 1024),
+            "settings/perf-match-semantics": "greedy",
+            "ui-state/search-type": "rs",
+            "ui-state/search-mode": "8-bit",
+            "ui-state/wildcard": "*",
+            "ui-state/advanced-shown": "true",
+            "ui-state/endianness-little": "true",
+            "ui-state/show-all-results": "true",
+            "directories/open-file": "",
+            "directories/save-table": "",
+        }
+
+    # ------------------------------------------------------------------
+    def get(self, key: str, default: str = "") -> str:
+        return self.values.get(key, default)
+
+    def set(self, key: str, value) -> None:
+        if isinstance(value, bool):
+            value = "true" if value else "false"
+        self.values[key] = str(value)
+
+    def get_bool(self, key: str, default: bool = False) -> bool:
+        v = self.values.get(key)
+        if v is None:
+            return default
+        return v.lower() == "true"
+
+    def get_int(self, key: str, default: int = 0) -> int:
+        try:
+            return int(self.values.get(key, default))
+        except (TypeError, ValueError):
+            return default
+
+    # ------------------------------------------------------------------
+    def save(self, path: Union[str, Path]) -> None:
+        root = ET.Element(_ROOT_TAG, {"version": PREFS_VERSION})
+        categories: Dict[str, ET.Element] = {}
+        for key, value in self.values.items():
+            cat, _, name = key.partition("/")
+            if cat not in categories:
+                categories[cat] = ET.SubElement(root, cat)
+            ET.SubElement(categories[cat], name, {"value": value})
+        tree = ET.ElementTree(root)
+        ET.indent(tree)
+        tree.write(path, encoding="utf-8", xml_declaration=True)
+
+    def load(self, path: Union[str, Path]) -> None:
+        """Load, raising :class:`PrefsError` on parse failure, missing root
+        or version mismatch (``monkey_prefs.cpp:46-94``) so callers can offer
+        the reference's restore-defaults-or-quit recovery
+        (``src/gui/monkey_app.cpp:87-113``)."""
+        try:
+            root = ET.parse(path).getroot()
+        except (ET.ParseError, OSError) as e:
+            raise PrefsError(
+                f"An error prevented user preferences from being loaded. "
+                f"File: {path}"
+            ) from e
+        if root.tag != _ROOT_TAG:
+            raise PrefsError("Invalid configuration file: missing root node.")
+        if root.get("version") != PREFS_VERSION:
+            raise PrefsError(
+                "Version is different from the version used in the user "
+                "preferences file."
+            )
+        for category in root:
+            for prop in category:
+                value = prop.get("value")
+                if value is not None:
+                    self.values[f"{category.tag}/{prop.tag}"] = value
