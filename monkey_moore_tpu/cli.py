@@ -65,6 +65,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="show only the first result per distinct "
                         "equivalency map (GUI 'show all results' off)")
     p.add_argument("--no-progress", action="store_true")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-stage timing statistics")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (no TPU)")
 
@@ -185,10 +187,13 @@ def _run_search(args, cfg: SearchConfig):
     progress = _progress_printer(not args.no_progress)
     try:
         t0 = time.time()
-        results = SearchEngine(cfg).run(progress, abort, args.previews)
+        engine = SearchEngine(cfg)
+        results = engine.run(progress, abort, args.previews)
         if not args.no_progress:
             print(f"\relapsed: {time.time() - t0:.2f}s" + " " * 20,
                   file=sys.stderr)
+        if args.stats and engine.last_stats is not None:
+            print(engine.last_stats.summary(), file=sys.stderr)
         return results
     except KeyboardInterrupt:
         abort.set()

@@ -97,6 +97,8 @@ class SearchEngine:
 
     def __init__(self, config: SearchConfig):
         self.config = config
+        #: :class:`~monkey_moore_tpu.profiling.SearchStats` of the last run.
+        self.last_stats = None
 
     # ------------------------------------------------------------------
     def compile(self) -> CompiledPattern:
@@ -127,9 +129,15 @@ class SearchEngine:
         if path is None or not path.exists():
             raise FileNotFoundError("File not found")  # ``search_engine.cpp:43-45``
 
+        from .profiling import SearchStats, StageTimer, device_trace
+
+        timer = StageTimer(SearchStats())
+        self.last_stats = timer.stats
+
         progress(0, SearchStep.INITIALIZING)
         file_size = path.stat().st_size
-        pat = self.compile()
+        with timer.stage("compile_pattern"):
+            pat = self.compile()
         s = cfg.element_width
 
         blocks = compute_search_blocks(
@@ -143,34 +151,42 @@ class SearchEngine:
             0, dtype=np.uint8
         )
 
-        if cfg.semantics is MatchSemantics.REFERENCE:
-            raw = self._scan_reference(pat, data, file_size, blocks, progress, aborted)
-        else:
-            raw = self._scan_dense(pat, data, file_size, blocks, progress, aborted)
+        with device_trace():
+            if cfg.semantics is MatchSemantics.REFERENCE:
+                raw = self._scan_reference(
+                    pat, data, file_size, blocks, progress, aborted, timer
+                )
+            else:
+                raw = self._scan_dense(
+                    pat, data, file_size, blocks, progress, aborted, timer
+                )
         if raw is None:  # aborted
             return []
 
         # Global sort by byte offset (``search_engine.cpp:193-197``).
         raw.sort(key=lambda r: r[0])
         results = [SearchResult(offset=o, values_map=m) for o, m in raw]
+        timer.stats.results = len(results)
 
         progress(100, SearchStep.GENERATING_PREVIEWS)
 
         if generate_previews and results:
             is_ascii = len(pat.char_seq) == 0
-            for r in results:
-                r.preview = generate_preview(
-                    data,
-                    file_size,
-                    r.offset,
-                    r.values_map,
-                    len(_as_seq(cfg.keyword)),
-                    cfg.preferred_preview_width,
-                    s,
-                    cfg.endianness,
-                    cfg.is_relative_search,
-                    is_ascii,
-                )
+            with timer.stage("previews"):
+                for r in results:
+                    r.preview = generate_preview(
+                        data,
+                        file_size,
+                        r.offset,
+                        r.values_map,
+                        len(_as_seq(cfg.keyword)),
+                        cfg.preferred_preview_width,
+                        s,
+                        cfg.endianness,
+                        cfg.is_relative_search,
+                        is_ascii,
+                    )
+        log("stats: ", timer.stats.summary())
         return results
 
     # ------------------------------------------------------------------
@@ -190,7 +206,8 @@ class SearchEngine:
         return decode_elements(raw.tobytes(), s, self.config.endianness)
 
     # ------------------------------------------------------------------
-    def _scan_dense(self, pat, data, file_size, blocks, progress, aborted):
+    def _scan_dense(self, pat, data, file_size, blocks, progress, aborted,
+                    timer):
         """Two-phase dense scan (device tile counts + host hot-tile
         extraction) with per-(block, alignment) greedy suppression."""
         from .dense import TILE_ELEMS, extract_hot_tiles, tile_counts
@@ -222,6 +239,7 @@ class SearchEngine:
         for k in range(n_chunks):
             if aborted():
                 return None
+            timer.stats.chunks += 1
             e0 = k * chunk_elems
             for a in range(s):
                 n_a = self._element_grid(file_size, a)
@@ -230,21 +248,28 @@ class SearchEngine:
                 count_here = min(chunk_elems + L - 1, n_a - e0)
                 if count_here < L:
                     continue
-                arr = self._decode_grid(data, a, e0, count_here)
-                want = (tiles_per_chunk + 1) * tile_elems
-                if len(arr) < want:
-                    arr = np.pad(arr, (0, want - len(arr)))
-                counts = tile_counts(
-                    pat,
-                    jnp.asarray(arr),
-                    count_here,
-                    use_pallas=cfg.use_pallas,
-                    tile_elems=tile_elems,
-                )
-                if counts.any():
-                    offs, vals = extract_hot_tiles(
-                        pat, arr[: count_here], counts, tile_elems
+                with timer.stage("decode"):
+                    arr = self._decode_grid(data, a, e0, count_here)
+                    want = (tiles_per_chunk + 1) * tile_elems
+                    if len(arr) < want:
+                        arr = np.pad(arr, (0, want - len(arr)))
+                with timer.stage("device_scan"):
+                    counts = tile_counts(
+                        pat,
+                        jnp.asarray(arr),
+                        count_here,
+                        use_pallas=cfg.use_pallas,
+                        tile_elems=tile_elems,
                     )
+                timer.stats.device_dispatches += 1
+                timer.stats.bytes_scanned += count_here * s
+                if counts.any():
+                    timer.stats.hot_tiles += int((counts > 0).sum())
+                    with timer.stage("host_extract"):
+                        offs, vals = extract_hot_tiles(
+                            pat, arr[: count_here], counts, tile_elems
+                        )
+                    timer.stats.candidates += len(offs)
                     # chunk scans only own starts within [0, chunk_elems)
                     keep = offs < chunk_elems
                     offs, vals = offs[keep], vals[keep]
@@ -292,7 +317,8 @@ class SearchEngine:
         return results
 
     # ------------------------------------------------------------------
-    def _scan_reference(self, pat, data, file_size, blocks, progress, aborted):
+    def _scan_reference(self, pat, data, file_size, blocks, progress, aborted,
+                        timer):
         """Exact reference semantics: sequential walk per (block, alignment),
         mirroring the worker lambda (``search_engine.cpp:107-168``)."""
         cfg = self.config
@@ -306,11 +332,15 @@ class SearchEngine:
             raw = data[offset : offset + size]
             for a in range(s):
                 count = max(0, (size - a) // s)
-                arr = decode_elements(
-                    raw[a : a + count * s].tobytes(), s, cfg.endianness
-                )
-                for pos, vmap in reference_walk(pat, arr):
+                with timer.stage("decode"):
+                    arr = decode_elements(
+                        raw[a : a + count * s].tobytes(), s, cfg.endianness
+                    )
+                with timer.stage("reference_walk"):
+                    walked = reference_walk(pat, arr)
+                for pos, vmap in walked:
                     results.append((offset + pos * s + a, vmap))
+                timer.stats.bytes_scanned += count * s
             if not tracker.step():
                 return None
         return results

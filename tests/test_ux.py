@@ -240,3 +240,37 @@ class TestCli:
         out = run_cli(["sequences", "list"])
         assert out.returncode == 0
         assert "Hiragana" in out.stdout and "Katakana" in out.stdout
+
+
+class TestProfiling:
+    def test_engine_collects_stats(self, tmp_path):
+        from monkey_moore_tpu.config import SearchConfig
+        from monkey_moore_tpu.engine import SearchEngine
+
+        data = np.zeros(1000, dtype=np.uint8)
+        enc = np.array([ord(c) + 4 for c in "statistics"], dtype=np.uint8)
+        data[500:510] = enc
+        p = tmp_path / "s.bin"
+        p.write_bytes(data.tobytes())
+
+        engine = SearchEngine(SearchConfig(file_path=p, keyword="statistics"))
+        results = engine.run()
+        stats = engine.last_stats
+        assert len(results) == 1
+        assert stats.results == 1
+        assert stats.bytes_scanned >= 1000
+        assert stats.device_dispatches >= 1
+        assert stats.candidates == 1
+        assert "device_scan" in stats.stage_seconds
+        assert "GB/s" in stats.summary()
+
+    def test_cli_stats_flag(self, tmp_path):
+        data = np.zeros(400, dtype=np.uint8)
+        enc = np.array([ord(c) + 4 for c in "profile"], dtype=np.uint8)
+        data[100:107] = enc
+        p = tmp_path / "p.bin"
+        p.write_bytes(data.tobytes())
+        out = run_cli(["search", str(p), "profile", "--cpu", "--no-progress",
+                       "--stats"])
+        assert out.returncode == 0
+        assert "device_scan" in out.stderr
