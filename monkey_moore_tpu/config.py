@@ -136,6 +136,10 @@ class SearchConfig:
     #: Use the Pallas TPU kernel when available (falls back to the pure-XLA
     #: path on CPU or on unsupported shapes).
     use_pallas: bool = True
+    #: Files up to this size stay resident in device HBM between searches
+    #: (interactive ROM exploration: upload once, search many keywords).
+    #: 0 disables residency.
+    resident_bytes_limit: int = 2 * 1024 * 1024 * 1024
 
     def dtype(self) -> type:
         try:

@@ -89,17 +89,18 @@ def tile_counts(
             interpret=interpret,
         )
     else:
-        from .ops.scan_jnp import pattern_device_args, tile_counts_xla
+        from .ops.scan_jnp import prefilter_expected, tile_counts_xla
 
-        sc, sp, exp, _ = pattern_device_args(pat)
+        pairs = tuple(
+            (int(c), int(p))
+            for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
+        )
         counts = tile_counts_xla(
             arr_device,
             jnp.int32(valid_count),
-            sc,
-            sp,
-            exp,
+            jnp.asarray(prefilter_expected(pat)),
+            pairs=pairs,
             length=pat.length,
-            signed_compare=pat.signed_compare,
             tile_elems=tile_elems,
         )
     return np.asarray(counts)

@@ -226,6 +226,28 @@ class SearchEngine:
         tiles_per_chunk = max(1, desired // tile_elems)
         chunk_elems = tiles_per_chunk * tile_elems
 
+        # Multi-device: scan each chunk across a 1-D mesh (shard_map + halo
+        # exchange); single-device otherwise.
+        mesh = None
+        if cfg.devices:
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh(list(cfg.devices))
+
+        # Resident corpus: upload once, derive element grids on device;
+        # chunks then cost no host→device transfer at all.
+        resident = None
+        if file_size and mesh is None:
+            from .corpus import get_resident_corpus
+
+            with timer.stage("corpus_upload"):
+                resident = get_resident_corpus(
+                    cfg.file_path,
+                    file_size,
+                    cfg.resident_bytes_limit,
+                    pad_bytes=(tiles_per_chunk + 1) * tile_elems * s + s,
+                )
+
         # (byte_offset, element_offset_in_grid, align, values) per candidate
         per_group: dict = {}
         candidate_info: dict = {}
@@ -248,26 +270,60 @@ class SearchEngine:
                 count_here = min(chunk_elems + L - 1, n_a - e0)
                 if count_here < L:
                     continue
-                with timer.stage("decode"):
-                    arr = self._decode_grid(data, a, e0, count_here)
-                    want = (tiles_per_chunk + 1) * tile_elems
-                    if len(arr) < want:
-                        arr = np.pad(arr, (0, want - len(arr)))
-                with timer.stage("device_scan"):
-                    counts = tile_counts(
-                        pat,
-                        jnp.asarray(arr),
-                        count_here,
-                        use_pallas=cfg.use_pallas,
-                        tile_elems=tile_elems,
-                    )
+                want = (tiles_per_chunk + 1) * tile_elems
+                if mesh is not None:
+                    from .parallel.sharded import sharded_candidates
+
+                    with timer.stage("decode"):
+                        arr = self._decode_grid(data, a, e0, count_here)
+                    with timer.stage("device_scan"):
+                        offs, vals = sharded_candidates(pat, arr, mesh)
+                    timer.stats.device_dispatches += 1
+                    timer.stats.bytes_scanned += count_here * s
+                    keep = offs < chunk_elems
+                    offs, vals = offs[keep], vals[keep]
+                    timer.stats.candidates += len(offs)
+                    for off, val in zip(offs.tolist(), vals.tolist()):
+                        e_global = e0 + off
+                        byte_off = a + e_global * s
+                        block_id = byte_off // base
+                        per_group.setdefault((block_id, a), []).append(e_global)
+                        candidate_info[(a, e_global)] = (byte_off, val)
+                    continue
+                if resident is not None:
+                    with timer.stage("device_scan"):
+                        dev_arr = resident.grid_chunk(
+                            s, cfg.endianness, a, e0, want
+                        )
+                        counts = tile_counts(
+                            pat,
+                            dev_arr,
+                            count_here,
+                            use_pallas=cfg.use_pallas,
+                            tile_elems=tile_elems,
+                        )
+                else:
+                    with timer.stage("decode"):
+                        arr = self._decode_grid(data, a, e0, count_here)
+                        if len(arr) < want:
+                            arr = np.pad(arr, (0, want - len(arr)))
+                    with timer.stage("device_scan"):
+                        counts = tile_counts(
+                            pat,
+                            jnp.asarray(arr),
+                            count_here,
+                            use_pallas=cfg.use_pallas,
+                            tile_elems=tile_elems,
+                        )
                 timer.stats.device_dispatches += 1
                 timer.stats.bytes_scanned += count_here * s
                 if counts.any():
                     timer.stats.hot_tiles += int((counts > 0).sum())
                     with timer.stage("host_extract"):
+                        if resident is not None:
+                            arr = self._decode_grid(data, a, e0, count_here)
                         offs, vals = extract_hot_tiles(
-                            pat, arr[: count_here], counts, tile_elems
+                            pat, arr[:count_here], counts, tile_elems
                         )
                     timer.stats.candidates += len(offs)
                     # chunk scans only own starts within [0, chunk_elems)

@@ -137,39 +137,70 @@ def compact_matches(
     return count, offsets
 
 
+def prefilter_expected(pat) -> np.ndarray:
+    """Expected diffs wrapped to the element dtype for the device prefilter.
+
+    The device phase may overcount (mod-2^width compare admits diffs that
+    differ from the expected signed value by exactly 2^width); the host
+    extraction phase applies exact semantics, so prefilter counts only need
+    to never *under*count.  Dropping the signed comparison removes the
+    int16/int32 widening from the hot graph — pure element-width VPU work.
+    """
+    return np.asarray(
+        pat.chk_expected.astype(np.int64).astype(pat.dtype)
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("length", "signed_compare", "tile_elems"),
+    static_argnames=("pairs", "length", "tile_elems"),
 )
 def tile_counts_xla(
     data: jnp.ndarray,
     valid_count: jnp.ndarray,
-    shift_cur: jnp.ndarray,
-    shift_prev: jnp.ndarray,
-    expected: jnp.ndarray,
+    expected_ty: jnp.ndarray,
     *,
+    pairs: tuple,
     length: int,
-    signed_compare: bool,
     tile_elems: int,
 ) -> jnp.ndarray:
-    """Per-tile match counts (phase 1 of the two-phase scan) — pure-XLA
-    fallback for :func:`..scan_pallas.tile_counts_pallas`.
+    """Per-tile prefilter match counts (phase 1 of the two-phase scan) —
+    pure-XLA fallback for :func:`..scan_pallas.tile_counts_pallas`.
 
     Contract (shared with the Pallas kernel): ``data`` holds
     ``(T+1) * tile_elems`` elements — T counted tiles plus one trailing tile
     of halo/padding, so every counted window reads inside the array.  Returns
     int32[T]; only these counts cross the device boundary — exact offsets are
     recovered on host from the hot tiles (``scan_np.py``).
+
+    ``pairs`` are static (window-relative shift pairs), so slice starts are
+    compile-time constants; ``expected_ty`` stays traced so same-shape
+    keywords share the executable.  Comparison is unsigned mod-2^width (see
+    :func:`prefilter_expected`).
     """
     n = data.shape[0]
     counted = n - tile_elems
-    bitmap = match_bitmap(
-        data, valid_count, length, shift_cur, shift_prev, expected,
-        signed_compare,
-    )
-    return jnp.sum(
-        bitmap[:counted].astype(jnp.int32).reshape(-1, tile_elems), axis=1
-    )
+    adjacent = bool(pairs) and all(c == p + 1 for c, p in pairs)
+    ok = None
+    if adjacent:
+        d1 = data[1:] - data[:-1]
+        for i, (c, _) in enumerate(pairs):
+            eq = (
+                jax.lax.slice_in_dim(d1, c - 1, c - 1 + counted)
+                == expected_ty[i]
+            )
+            ok = eq if ok is None else ok & eq
+    else:
+        for i, (c, p) in enumerate(pairs):
+            cur = jax.lax.slice_in_dim(data, c, c + counted)
+            prev = jax.lax.slice_in_dim(data, p, p + counted)
+            eq = (cur - prev) == expected_ty[i]
+            ok = eq if ok is None else ok & eq
+    if ok is None:
+        ok = jnp.ones((counted,), dtype=bool)
+    idx = jnp.arange(counted, dtype=jnp.int32)
+    ok = ok & (idx <= valid_count - length)
+    return jnp.sum(ok.astype(jnp.int32).reshape(-1, tile_elems), axis=1)
 
 
 @functools.partial(

@@ -91,16 +91,14 @@ def pallas_available() -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pairs", "signed_compare", "length", "tile_rows", "interpret"),
+    static_argnames=("pairs", "length", "tile_rows", "interpret"),
 )
 def _tile_counts_call(
     data2d: jnp.ndarray,
     expected: jnp.ndarray,
-    signs: jnp.ndarray,
     valid: jnp.ndarray,
     *,
     pairs: Tuple[Tuple[int, int], ...],
-    signed_compare: bool,
     length: int,
     tile_rows: int,
     interpret: bool,
@@ -114,7 +112,7 @@ def _tile_counts_call(
     # scan_jnp.tile_counts_xla)
     num_tiles = rows // tile_rows - 1
 
-    def kernel(expected_ref, signs_ref, valid_ref, tile_ref, next_ref, out_ref):
+    def kernel(expected_ref, valid_ref, tile_ref, next_ref, out_ref):
         i = pl.program_id(0)
         tile = tile_ref[:]
         # rows shifted down by one (element index + LANES); the halo block is
@@ -131,13 +129,10 @@ def _tile_counts_call(
             cur = shifted(cs)
             prev = shifted(ps)
             # expected travels as int32 in SMEM (SMEM prefers 32-bit
-            # scalars); cast to the element dtype for the wraparound compare
+            # scalars); cast to the element dtype for the mod-2^width
+            # prefilter compare (host extraction applies exact semantics)
             e = expected_ref[k].astype(tile.dtype)
             okk = (cur - prev) == e
-            if signed_compare:
-                okk = jnp.logical_and(
-                    okk, (cur >= prev) == (signs_ref[k] != 0)
-                )
             ok = okk if ok is None else jnp.logical_and(ok, okk)
         if ok is None:
             ok = jnp.ones(tile.shape, dtype=jnp.bool_)
@@ -158,7 +153,6 @@ def _tile_counts_call(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # expected
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # signs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # valid
             pl.BlockSpec(
                 (tile_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -174,7 +168,7 @@ def _tile_counts_call(
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((num_tiles, 1), jnp.int32),
         interpret=interpret,
-    )(expected, signs, valid, data2d, data2d)
+    )(expected, valid, data2d, data2d)
 
 
 def tile_counts_pallas(
@@ -206,24 +200,15 @@ def tile_counts_pallas(
         last_valid = valid_count - pat.length  # inclusive
         counts = np.clip(last_valid + 1 - starts, 0, tile_elems)
         return jnp.asarray(counts.astype(np.int32))
-    if pat.signed_compare:
-        expected = jnp.asarray(
-            pat.chk_expected.astype(np.int64).astype(pat.dtype).astype(np.int32)
-        )
-        signs = jnp.asarray((pat.chk_expected >= 0).astype(np.int32))
-    else:
-        expected = jnp.asarray(
-            pat.chk_expected.astype(np.int64).astype(np.int32)
-        )
-        signs = jnp.zeros(len(pairs), dtype=jnp.int32)
+    from .scan_jnp import prefilter_expected
+
+    expected = jnp.asarray(prefilter_expected(pat).astype(np.int32))
     valid = jnp.asarray([valid_count], dtype=jnp.int32)
     counts = _tile_counts_call(
         data2d,
         expected,
-        signs,
         valid,
         pairs=pairs,
-        signed_compare=pat.signed_compare,
         length=pat.length,
         tile_rows=tile_rows,
         interpret=interpret,

@@ -1,0 +1,84 @@
+"""Resident device-corpus tests: result parity with the streaming path,
+cache reuse, and invalidation."""
+
+import numpy as np
+import pytest
+
+from monkey_moore_tpu.config import Endianness, SearchConfig
+from monkey_moore_tpu.corpus import clear_corpus_cache, get_resident_corpus
+from monkey_moore_tpu.engine import SearchEngine
+
+
+def make_rom(tmp_path, n=200_000, seed=1, width=1, plant=b"resident"):
+    rng = np.random.default_rng(seed)
+    mod = 256 if width == 1 else 65536
+    dtype = np.uint8 if width == 1 else np.uint16
+    data = rng.integers(0, mod, n).astype(dtype)
+    enc = (np.frombuffer(plant, dtype=np.uint8).astype(np.int64) + 9) % mod
+    data[n // 2 : n // 2 + len(enc)] = enc.astype(dtype)
+    p = tmp_path / "rom.bin"
+    p.write_bytes(data.astype("<u2").tobytes() if width == 2 else data.tobytes())
+    return p
+
+
+class TestResidency:
+    def setup_method(self):
+        clear_corpus_cache()
+
+    @pytest.mark.parametrize("width", [1, 2])
+    def test_resident_matches_streaming(self, tmp_path, width):
+        path = make_rom(tmp_path, width=width)
+        base = dict(
+            file_path=path,
+            keyword="resident",
+            element_width=width,
+            device_chunk_bytes=65536,
+        )
+        res_resident = SearchEngine(SearchConfig(**base)).run()
+        res_streaming = SearchEngine(
+            SearchConfig(**base, resident_bytes_limit=0)
+        ).run()
+        assert [r.offset for r in res_resident] == [
+            r.offset for r in res_streaming
+        ]
+        assert len(res_resident) >= 1
+
+    def test_big_endian_resident(self, tmp_path):
+        rng = np.random.default_rng(5)
+        data = rng.integers(0, 65536, 50_000).astype(np.uint16)
+        enc = np.array([ord(c) + 30 for c in "bigend"], dtype=np.uint16)
+        data[10_001 : 10_001 + 6] = enc
+        p = tmp_path / "be.bin"
+        p.write_bytes(data.astype(">u2").tobytes())
+        cfg = SearchConfig(
+            file_path=p,
+            keyword="bigend",
+            element_width=2,
+            endianness=Endianness.BIG,
+        )
+        res = SearchEngine(cfg).run()
+        assert [r.offset for r in res] == [20_002]
+
+    def test_cache_reused_across_searches(self, tmp_path):
+        path = make_rom(tmp_path)
+        cfg = SearchConfig(file_path=path, keyword="resident")
+        e1 = SearchEngine(cfg)
+        e1.run()
+        first_upload = e1.last_stats.stage_seconds.get("corpus_upload", 0)
+        c1 = get_resident_corpus(path, path.stat().st_size, 1 << 30, 1024)
+        c2 = get_resident_corpus(path, path.stat().st_size, 1 << 30, 1024)
+        assert c1 is c2  # cache hit returns the same resident object
+
+    def test_mtime_invalidation(self, tmp_path):
+        path = make_rom(tmp_path)
+        size = path.stat().st_size
+        c1 = get_resident_corpus(path, size, 1 << 30, 1024)
+        import os
+
+        os.utime(path, ns=(123456789, 987654321))
+        c2 = get_resident_corpus(path, size, 1 << 30, 1024)
+        assert c1 is not c2
+
+    def test_over_limit_returns_none(self, tmp_path):
+        path = make_rom(tmp_path)
+        assert get_resident_corpus(path, path.stat().st_size, 1000, 64) is None

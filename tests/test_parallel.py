@@ -98,6 +98,33 @@ class TestHostRanges:
         assert host_byte_range(123, 4, 1, index=0, count=1) == (0, 123)
 
 
+class TestEngineMultiDevice:
+    """Engine configured with a device list shards each chunk across the
+    mesh; results must match the single-device engine exactly."""
+
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_engine_devices_parity(self, tmp_path, devices, n_dev, rng):
+        from monkey_moore_tpu.config import SearchConfig
+        from monkey_moore_tpu.engine import SearchEngine
+
+        data = rng.integers(0, 256, 50_000).astype(np.uint8)
+        enc = np.array([ord(c) + 2 for c in "parallel"], dtype=np.uint8)
+        for pos in (17, 25_000, 49_990):
+            data[pos : pos + 8] = enc
+        path = tmp_path / "mesh.bin"
+        path.write_bytes(data.tobytes())
+
+        base = dict(file_path=path, keyword="parallel",
+                    device_chunk_bytes=16_384)
+        single = SearchEngine(SearchConfig(**base)).run()
+        multi = SearchEngine(
+            SearchConfig(**base, devices=devices[:n_dev])
+        ).run()
+        assert [r.offset for r in multi] == [r.offset for r in single]
+        assert len(single) == 3
+        assert [r.values_map for r in multi] == [r.values_map for r in single]
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys

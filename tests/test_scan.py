@@ -231,6 +231,24 @@ class TestEdges:
         assert dense_search(pat, data, MatchSemantics.REFERENCE) == []
 
 
+def brute_force_prefilter(pat, data):
+    """The device phase's mod-2^width prefilter semantics: a superset of
+    brute_force_all (host extraction applies exact semantics afterwards)."""
+    data = np.asarray(data, dtype=pat.dtype)
+    N, L = len(data), pat.length
+    exp_ty = pat.chk_expected.astype(np.int64).astype(pat.dtype)
+    out = []
+    for p in range(N - L + 1):
+        ok = True
+        for cur, prev, e in zip(pat.chk_shift_cur, pat.chk_shift_prev, exp_ty):
+            if (int(data[p + cur]) - int(data[p + prev])) & pat.tmax != e:
+                ok = False
+                break
+        if ok:
+            out.append(p)
+    return out
+
+
 class TestPallasKernelInterpret:
     """Validates the Mosaic tile-count kernel's logic on CPU via Pallas
     interpret mode (the TPU path compiles the same kernel)."""
@@ -248,7 +266,19 @@ class TestPallasKernelInterpret:
             pat, jnp.asarray(arr), n, interpret=True, tile_elems=TILE_ELEMS
         )
         assert counts.shape == (1,)
-        assert int(counts[0]) == len(brute_force_all(pat, data))
+        assert int(counts[0]) == len(brute_force_prefilter(pat, data))
+        # and the prefilter never undercounts the exact match set
+        assert int(counts[0]) >= len(brute_force_all(pat, data))
+
+    def test_prefilter_false_positive_filtered_by_extraction(self):
+        # 0-255 = -255 ≡ +1 mod 256 passes the device prefilter but host
+        # extraction applies exact signed semantics and drops it.
+        data = np.array([10, 255, 0, 1, 2, 3, 0, 0], dtype=np.uint8)
+        pat = compile_pattern("abcd")
+        assert 1 in brute_force_prefilter(pat, data)
+        offsets, _ = dense_candidates(pat, data)
+        assert offsets.tolist() == brute_force_all(pat, data)
+        assert 1 not in offsets.tolist()
 
     def test_cross_tile_window_counted(self):
         import jax.numpy as jnp
