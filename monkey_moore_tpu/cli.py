@@ -29,6 +29,7 @@ from .engine import SearchEngine
 from .prefs import Prefs
 from .sequences import SequenceStore
 from .tables import build_table_data, save_tbl
+from .i18n import _
 from .validate import ValidationError, check_keyword, parse_value_scan
 
 __all__ = ["main", "build_parser"]
@@ -175,7 +176,7 @@ def _print_results(results, cfg: SearchConfig, args) -> None:
             line += f"\t{r.preview}"
         print(line)
         shown += 1
-    print(f"{shown} result(s)", file=sys.stderr)
+    print(f"{shown} {_('result(s)')}", file=sys.stderr)
 
 
 def _run_search(args, cfg: SearchConfig):
@@ -197,7 +198,7 @@ def _run_search(args, cfg: SearchConfig):
         return results
     except KeyboardInterrupt:
         abort.set()
-        print("\naborted", file=sys.stderr)
+        print("\n" + _("aborted"), file=sys.stderr)
         return []
     except FileNotFoundError:
         print(f"error: unable to open {cfg.file_path}: file not found.",
@@ -216,7 +217,7 @@ def main(argv=None) -> int:
         wc = "" if args.no_wildcard else args.wildcard
         warning = check_keyword(args.keyword, wc or None, seq)
         if warning is not None:
-            print(f"error: {warning.value}", file=sys.stderr)
+            print(f"error: {_(warning.value)}", file=sys.stderr)
             return 2
         cfg = _make_config(args, keyword=args.keyword, seq=seq)
         if args.no_wildcard:

@@ -274,3 +274,49 @@ class TestProfiling:
                        "--stats"])
         assert out.returncode == 0
         assert "device_scan" in out.stderr
+
+
+class TestI18n:
+    def test_default_english(self):
+        from monkey_moore_tpu import i18n
+        i18n.set_language("en")
+        assert i18n._("File not found") == "File not found"
+
+    def test_pt_br(self):
+        from monkey_moore_tpu import i18n
+        i18n.set_language("pt_BR.UTF-8")
+        try:
+            assert i18n.current_language().startswith("pt")
+            assert i18n._("File not found") == "Arquivo não encontrado"
+            assert "palavra-chave" in i18n._(
+                "You must input a keyword with 3 or more characters."
+            )
+        finally:
+            i18n.set_language("en")
+
+    def test_po_reader(self, tmp_path):
+        from monkey_moore_tpu.i18n import load_po
+        po = tmp_path / "t.po"
+        po.write_text(
+            'msgid "Hello"\nmsgstr "Olá"\n\n'
+            'msgid "Multi"\n"line"\nmsgstr "Multi"\n"linha"\n',
+            encoding="utf-8",
+        )
+        catalog = load_po(po)
+        assert catalog == {"Hello": "Olá", "Multiline": "Multilinha"}
+
+    def test_cli_translated_warning(self, tmp_path):
+        import os
+        p = tmp_path / "x.bin"
+        p.write_bytes(b"\x00" * 64)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["MMTPU_LANG"] = "pt_BR"
+        out = subprocess.run(
+            [sys.executable, "-m", "monkey_moore_tpu", "search", str(p), "ab",
+             "--cpu", "--no-progress"],
+            capture_output=True, text=True, env=env,
+            cwd=str(Path(__file__).resolve().parent.parent), timeout=120,
+        )
+        assert out.returncode == 2
+        assert "palavra-chave" in out.stderr
