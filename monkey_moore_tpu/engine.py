@@ -75,6 +75,46 @@ def compute_search_blocks(
     return blocks
 
 
+def finalize_candidates(
+    pat, semantics, s, base, file_size, per_group, candidate_info
+):
+    """Dense candidates → final (byte_offset, values_map) list, applying the
+    reference's per-(block, alignment) match semantics.
+
+    ``per_group``: {(block_id, alignment): [element offsets]};
+    ``candidate_info``: {(alignment, element offset): (byte_offset, values)}.
+    """
+    L = pat.length
+    results = []
+    suppress = semantics is MatchSemantics.GREEDY
+    for (block_id, a), elems in per_group.items():
+        elems = np.array(sorted(elems), dtype=np.int64)
+        if suppress and s > 1:
+            # Block-fit parity filter: the reference's halo is
+            # ``(L-1)*element_size`` bytes (``search_engine.cpp:227``), one
+            # element too short for the shifted alignment grid, so an
+            # odd-aligned match whose window pokes past its owning block's
+            # trimmed element count is silently missed by the reference.
+            # GREEDY mode replicates that; ALL mode reports the match.
+            fit = []
+            for e in elems.tolist():
+                byte_off, _ = candidate_info[(a, e)]
+                rel = byte_off - block_id * base
+                a_loc = rel % s
+                j = rel // s
+                size_i = min(base + (L - 1) * s, file_size - block_id * base)
+                count_i = (size_i - a_loc) // s
+                if j + L <= count_i:
+                    fit.append(e)
+            elems = np.array(fit, dtype=np.int64)
+        if suppress:
+            elems = greedy_suppress(elems, pat.advance)
+        for e in elems.tolist():
+            byte_off, val = candidate_info[(a, e)]
+            results.append((byte_off, recover_from_values(pat, val)))
+    return results
+
+
 def _normalize_abort(abort_flag) -> Callable[[], bool]:
     if abort_flag is None:
         return lambda: False
@@ -343,34 +383,9 @@ class SearchEngine:
         if not tracker.finish():
             return None
 
-        results = []
-        suppress = cfg.semantics is MatchSemantics.GREEDY
-        for (block_id, a), elems in per_group.items():
-            elems = np.array(sorted(elems), dtype=np.int64)
-            if suppress and s > 1:
-                # Block-fit parity filter: the reference's halo is
-                # ``(L-1)*element_size`` bytes (``search_engine.cpp:227``),
-                # one element too short for the shifted alignment grid, so an
-                # odd-aligned match whose window pokes past its owning block's
-                # trimmed element count is silently missed by the reference.
-                # GREEDY mode replicates that; ALL mode reports the match.
-                fit = []
-                for e in elems.tolist():
-                    byte_off, _ = candidate_info[(a, e)]
-                    rel = byte_off - block_id * base
-                    a_loc = rel % s
-                    j = rel // s
-                    size_i = min(base + (L - 1) * s, file_size - block_id * base)
-                    count_i = (size_i - a_loc) // s
-                    if j + L <= count_i:
-                        fit.append(e)
-                elems = np.array(fit, dtype=np.int64)
-            if suppress:
-                elems = greedy_suppress(elems, pat.advance)
-            for e in elems.tolist():
-                byte_off, val = candidate_info[(a, e)]
-                results.append((byte_off, recover_from_values(pat, val)))
-        return results
+        return finalize_candidates(
+            pat, cfg.semantics, s, base, file_size, per_group, candidate_info
+        )
 
     # ------------------------------------------------------------------
     def _scan_reference(self, pat, data, file_size, blocks, progress, aborted,

@@ -178,8 +178,13 @@ def tile_counts_xla(
     keywords share the executable.  Comparison is unsigned mod-2^width (see
     :func:`prefilter_expected`).
     """
-    n = data.shape[0]
-    counted = n - tile_elems
+    return _count_body(
+        data, valid_count, expected_ty, pairs, length, tile_elems
+    )
+
+
+def _count_body(data, valid_count, expected_ty, pairs, length, tile_elems):
+    counted = data.shape[0] - tile_elems
     adjacent = bool(pairs) and all(c == p + 1 for c, p in pairs)
     ok = None
     if adjacent:
@@ -201,6 +206,32 @@ def tile_counts_xla(
     idx = jnp.arange(counted, dtype=jnp.int32)
     ok = ok & (idx <= valid_count - length)
     return jnp.sum(ok.astype(jnp.int32).reshape(-1, tile_elems), axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pair_sets", "lengths", "tile_elems"),
+)
+def tile_counts_multi_xla(
+    data: jnp.ndarray,
+    valid_count: jnp.ndarray,
+    expected_list: tuple,
+    *,
+    pair_sets: tuple,
+    lengths: tuple,
+    tile_elems: int,
+):
+    """Per-tile prefilter counts for MANY patterns in ONE dispatch.
+
+    The corpus is read from HBM once per pattern inside a single executable —
+    amortizing the per-dispatch overhead across keywords, the core of the
+    interactive multi-keyword workflow (``multi.MultiSearcher``).  Returns a
+    tuple of int32[T] arrays, one per pattern.
+    """
+    return tuple(
+        _count_body(data, valid_count, exp, pairs, length, tile_elems)
+        for pairs, length, exp in zip(pair_sets, lengths, expected_list)
+    )
 
 
 @functools.partial(

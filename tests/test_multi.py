@@ -1,0 +1,90 @@
+"""MultiSearcher tests: per-keyword parity with the engine, mixed modes,
+previews."""
+
+import numpy as np
+import pytest
+
+from monkey_moore_tpu.config import Endianness, MatchSemantics, SearchConfig
+from monkey_moore_tpu.engine import SearchEngine
+from monkey_moore_tpu.multi import MultiSearcher
+
+
+@pytest.fixture
+def rom8(tmp_path, rng):
+    data = rng.integers(0, 256, 100_000).astype(np.uint8)
+    plants = {
+        "sword": 1000,
+        "shield": 50_000,
+        "potion": 99_000,
+    }
+    for word, pos in plants.items():
+        enc = np.array([ord(c) + 7 for c in word], dtype=np.uint8)
+        data[pos : pos + len(enc)] = enc
+    p = tmp_path / "rom8.bin"
+    p.write_bytes(data.tobytes())
+    return p, plants
+
+
+class TestMultiSearcher:
+    def test_parity_with_engine(self, rom8):
+        path, plants = rom8
+        specs = list(plants.keys()) + ["missing"]
+        ms = MultiSearcher(path, device_chunk_bytes=32768)
+        multi = ms.search(specs)
+        for spec, got in zip(specs, multi):
+            cfg = SearchConfig(
+                file_path=path, keyword=spec, device_chunk_bytes=32768
+            )
+            single = SearchEngine(cfg).run()
+            assert [r.offset for r in got] == [r.offset for r in single], spec
+            assert [r.values_map for r in got] == [
+                r.values_map for r in single
+            ], spec
+        assert [r.offset for r in multi[0]] == [plants["sword"]]
+        assert multi[3] == []
+
+    def test_mixed_specs_and_previews(self, rom8):
+        path, plants = rom8
+        ms = MultiSearcher(path)
+        got = ms.search(
+            ["sword", {"keyword": "shi*ld", "wildcard": "*"}],
+            generate_previews=True,
+        )
+        assert [r.offset for r in got[0]] == [plants["sword"]]
+        assert [r.offset for r in got[1]] == [plants["shield"]]
+        assert "shield" in got[1][0].preview
+
+    def test_value_scan_spec(self, tmp_path):
+        data = np.zeros(500, dtype=np.uint8)
+        data[100:105] = [10, 20, 21, 22, 30]
+        p = tmp_path / "v.bin"
+        p.write_bytes(data.tobytes())
+        ms = MultiSearcher(p)
+        got = ms.search([{"reference_values": [10, 20, 21, 22, 30]}])
+        assert [r.offset for r in got[0]] == [100]
+        assert got[0][0].values_map == {}
+
+    def test_different_lengths_one_dispatch(self, rom8):
+        path, plants = rom8
+        ms = MultiSearcher(path)
+        got = ms.search(["sword", "potion", "swordfish"])
+        assert [r.offset for r in got[0]] == [plants["sword"]]
+        assert [r.offset for r in got[1]] == [plants["potion"]]
+        assert got[2] == []
+
+    def test_16bit_big_endian(self, tmp_path, rng):
+        data = rng.integers(0, 65536, 30_000).astype(np.uint16)
+        enc = np.array([ord(c) + 200 for c in "zelda"], dtype=np.uint16)
+        data[12_345 : 12_350] = enc
+        p = tmp_path / "rom16.bin"
+        p.write_bytes(data.astype(">u2").tobytes())
+        ms = MultiSearcher(p, element_width=2, endianness=Endianness.BIG)
+        got = ms.search(["zelda", "ganon"])
+        assert [r.offset for r in got[0]] == [12_345 * 2]
+        assert got[1] == []
+
+    def test_reference_semantics_fallback(self, rom8):
+        path, plants = rom8
+        ms = MultiSearcher(path, semantics=MatchSemantics.REFERENCE)
+        got = ms.search(["sword"])
+        assert [r.offset for r in got[0]] == [plants["sword"]]
