@@ -130,17 +130,46 @@ class MultiSearcher:
             pad_bytes=want * s + s,
         )
 
-        pair_sets = tuple(
-            tuple(
+        # Check tables, with simple-mode (adjacent-pair) patterns padded to a
+        # canonical shape: identical static pairs + traced active masks mean
+        # every batch of K plain keywords shares one executable regardless of
+        # the keywords or their lengths.
+        raw_pairs = [
+            [
                 (int(c), int(p))
                 for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
-            )
+            ]
             for pat in pats
+        ]
+        raw_exp = [prefilter_expected(pat) for pat in pats]
+        raw_active = [np.ones(len(p), dtype=bool) for p in raw_pairs]
+        simple = [
+            bool(prs) and all(c == p + 1 for c, p in prs)
+            for prs in raw_pairs
+        ]
+        c_max = max(
+            (len(p) for p, is_s in zip(raw_pairs, simple) if is_s), default=0
         )
-        lengths = tuple(pat.length for pat in pats)
-        expected = tuple(
-            jnp.asarray(prefilter_expected(pat)) for pat in pats
+        # bucket the canonical width (pow2, >=8) so batches with any mix of
+        # short keywords land on the same executable
+        if c_max:
+            c_max = max(8, 1 << (c_max - 1).bit_length())
+        for i, pat in enumerate(pats):
+            if simple[i] and len(raw_pairs[i]) < c_max:
+                pad = c_max - len(raw_pairs[i])
+                raw_pairs[i] = [(k + 1, k) for k in range(c_max)]
+                raw_exp[i] = np.concatenate(
+                    [raw_exp[i], np.zeros(pad, dtype=raw_exp[i].dtype)]
+                )
+                raw_active[i] = np.concatenate(
+                    [raw_active[i], np.zeros(pad, dtype=bool)]
+                )
+        pair_sets = tuple(tuple(prs) for prs in raw_pairs)
+        lengths_arr = jnp.asarray(
+            [pat.length for pat in pats], dtype=jnp.int32
         )
+        expected = tuple(jnp.asarray(e) for e in raw_exp)
+        active = tuple(jnp.asarray(a) for a in raw_active)
 
         per_group = [dict() for _ in pats]
         candidate_info = [dict() for _ in pats]
@@ -158,7 +187,7 @@ class MultiSearcher:
                 if e0 >= n_a:
                     continue
                 count_here = min(chunk_elems + l_max - 1, n_a - e0)
-                if count_here < min(lengths):
+                if count_here < min(p.length for p in pats):
                     continue
                 if resident is not None:
                     dev_arr = resident.grid_chunk(
@@ -176,8 +205,9 @@ class MultiSearcher:
                     dev_arr,
                     jnp.int32(count_here),
                     expected,
+                    active,
+                    lengths_arr,
                     pair_sets=pair_sets,
-                    lengths=lengths,
                     tile_elems=tile_elems,
                 )
                 counts_np = [np.asarray(c) for c in counts_all]

@@ -183,7 +183,12 @@ def tile_counts_xla(
     )
 
 
-def _count_body(data, valid_count, expected_ty, pairs, length, tile_elems):
+def _count_body(
+    data, valid_count, expected_ty, pairs, length, tile_elems, active=None
+):
+    """Shared prefilter count body.  ``active`` (traced bool[C], optional)
+    disables padded checks: inactive checks are forced true, letting callers
+    pad check tables to a canonical shape for executable sharing."""
     counted = data.shape[0] - tile_elems
     adjacent = bool(pairs) and all(c == p + 1 for c, p in pairs)
     ok = None
@@ -194,12 +199,16 @@ def _count_body(data, valid_count, expected_ty, pairs, length, tile_elems):
                 jax.lax.slice_in_dim(d1, c - 1, c - 1 + counted)
                 == expected_ty[i]
             )
+            if active is not None:
+                eq = eq | ~active[i]
             ok = eq if ok is None else ok & eq
     else:
         for i, (c, p) in enumerate(pairs):
             cur = jax.lax.slice_in_dim(data, c, c + counted)
             prev = jax.lax.slice_in_dim(data, p, p + counted)
             eq = (cur - prev) == expected_ty[i]
+            if active is not None:
+                eq = eq | ~active[i]
             ok = eq if ok is None else ok & eq
     if ok is None:
         ok = jnp.ones((counted,), dtype=bool)
@@ -210,15 +219,16 @@ def _count_body(data, valid_count, expected_ty, pairs, length, tile_elems):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pair_sets", "lengths", "tile_elems"),
+    static_argnames=("pair_sets", "tile_elems"),
 )
 def tile_counts_multi_xla(
     data: jnp.ndarray,
     valid_count: jnp.ndarray,
     expected_list: tuple,
+    active_list: tuple,
+    lengths: jnp.ndarray,
     *,
     pair_sets: tuple,
-    lengths: tuple,
     tile_elems: int,
 ):
     """Per-tile prefilter counts for MANY patterns in ONE dispatch.
@@ -227,10 +237,19 @@ def tile_counts_multi_xla(
     amortizing the per-dispatch overhead across keywords, the core of the
     interactive multi-keyword workflow (``multi.MultiSearcher``).  Returns a
     tuple of int32[T] arrays, one per pattern.
+
+    ``lengths`` (int32[K]) and the per-check ``active`` masks are traced;
+    callers pad simple-mode check tables to a canonical adjacent-pair shape,
+    so every batch of K plain keywords shares one compiled executable
+    regardless of the keywords or their lengths.
     """
     return tuple(
-        _count_body(data, valid_count, exp, pairs, length, tile_elems)
-        for pairs, length, exp in zip(pair_sets, lengths, expected_list)
+        _count_body(
+            data, valid_count, exp, pairs, lengths[i], tile_elems, act
+        )
+        for i, (pairs, exp, act) in enumerate(
+            zip(pair_sets, expected_list, active_list)
+        )
     )
 
 
