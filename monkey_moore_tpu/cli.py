@@ -90,6 +90,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="custom character sequence (literal or store name)")
     _add_common(s)
 
+    m = sub.add_parser(
+        "multi-search",
+        help="search several keywords in one pass over a resident corpus",
+    )
+    m.add_argument("file")
+    m.add_argument("keywords", nargs="+")
+    m.add_argument("--wildcard", default="*")
+    m.add_argument("--seq", default="",
+                   help="custom character sequence (literal or store name)")
+    _add_common(m)
+
     v = sub.add_parser("value-scan", help="search for a raw value pattern")
     v.add_argument("file")
     v.add_argument("values", nargs="+",
@@ -224,6 +235,44 @@ def main(argv=None) -> int:
             cfg.wildcard = 0
         results = _run_search(args, cfg)
         _print_results(results, cfg, args)
+        return 0
+
+    if args.command == "multi-search":
+        if args.cpu:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        from .multi import MultiSearcher
+
+        seq = _resolve_sequence(args.seq)
+        specs = []
+        for kw in args.keywords:
+            warning = check_keyword(kw, args.wildcard, seq)
+            if warning is not None:
+                print(f"error: {kw!r}: {_(warning.value)}", file=sys.stderr)
+                return 2
+            specs.append(
+                {"keyword": kw, "wildcard": args.wildcard, "char_seq": seq}
+            )
+        cfg = _make_config(args, keyword=args.keywords[0], seq=seq)
+        try:
+            ms = MultiSearcher(
+                args.file,
+                element_width=cfg.element_width,
+                endianness=cfg.endianness,
+                preferred_search_block_size=cfg.preferred_search_block_size,
+                device_chunk_bytes=cfg.device_chunk_bytes,
+                preferred_preview_width=cfg.preferred_preview_width,
+                semantics=cfg.semantics,
+            )
+            all_results = ms.search(specs, generate_previews=args.previews)
+        except FileNotFoundError:
+            print(f"error: unable to open {args.file}: file not found.",
+                  file=sys.stderr)
+            return 1
+        for kw, results in zip(args.keywords, all_results):
+            print(f"# {kw}")
+            _print_results(results, cfg, args)
         return 0
 
     if args.command == "value-scan":

@@ -320,3 +320,25 @@ class TestI18n:
         )
         assert out.returncode == 2
         assert "palavra-chave" in out.stderr
+
+
+class TestCliMultiSearch:
+    def test_multi_search(self, tmp_path):
+        data = np.zeros(5000, dtype=np.uint8)
+        for w, pos in (("alpha", 100), ("gamma", 3000)):
+            data[pos:pos+5] = np.array([ord(c)+3 for c in w], dtype=np.uint8)
+        p = tmp_path / "ms.bin"
+        p.write_bytes(data.tobytes())
+        out = run_cli(["multi-search", str(p), "alpha", "beta", "gamma",
+                       "--cpu", "--no-progress"])
+        assert out.returncode == 0, out.stderr
+        assert "# alpha" in out.stdout and "0x64" in out.stdout
+        assert "# gamma" in out.stdout and "0xBB8" in out.stdout
+
+    def test_multi_search_invalid_keyword(self, tmp_path):
+        p = tmp_path / "x.bin"
+        p.write_bytes(b"\x00" * 64)
+        out = run_cli(["multi-search", str(p), "alpha", "xy", "--cpu",
+                       "--no-progress"])
+        assert out.returncode == 2
+        assert "'xy'" in out.stderr
