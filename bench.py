@@ -4,7 +4,10 @@
 Mirrors the reference's benchmark setup (``benchmarks/bench_search.cpp:29,67``:
 random data, 5-char keyword "abcde", bytes/s) on device-resident data — the
 interactive ROM-exploration workload where the corpus is loaded to HBM once
-and searched repeatedly.
+and searched repeatedly.  The corpus is generated directly in HBM (threefry,
+seed 42) and kept resident in the scan kernel's packed SWAR layout; each
+timed step runs the full production path — device tile-count prefilter plus
+exact host extraction of any hot tiles (fetched device→host on demand).
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "bytes/s", "vs_baseline": N}
@@ -13,6 +16,7 @@ Prints ONE JSON line:
 host (BASELINE_MEASURED.json; single-thread, its own benchmark's setup).
 """
 
+import functools
 import json
 import os
 import sys
@@ -24,7 +28,7 @@ import numpy as np
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-DATA_MB = int(os.environ.get("MMTPU_BENCH_MB", "1024"))
+DATA_MB = int(os.environ.get("MMTPU_BENCH_MB", "4096"))
 WARMUP = int(os.environ.get("MMTPU_BENCH_WARMUP", "3"))
 ITERS = int(os.environ.get("MMTPU_BENCH_ITERS", "15"))
 
@@ -45,22 +49,53 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from monkey_moore_tpu.dense import TILE_ELEMS, tile_counts, extract_hot_tiles
+    from monkey_moore_tpu.dense import (
+        TILE_ELEMS,
+        extract_hot_tiles_device,
+        tile_counts,
+    )
+    from monkey_moore_tpu.ops.scan_pallas import pallas_compute_mode
     from monkey_moore_tpu.pattern import compile_pattern
 
     n = DATA_MB * 1024 * 1024
-    rng = np.random.default_rng(42)
-    arr = np.zeros(n + TILE_ELEMS, dtype=np.uint8)
-    arr[:n] = rng.integers(0, 256, n, dtype=np.uint8)
+    assert n % TILE_ELEMS == 0
     pat = compile_pattern("abcde")
 
-    data = jax.device_put(jnp.asarray(arr))
-    jax.block_until_ready(data)
+    if pallas_compute_mode() == "swar":
+        # Generate the corpus directly in HBM as packed random words (the
+        # SWAR kernel's operand layout; no host→device transfer — the
+        # tunnel used for development uploads at only a few MB/s).
+        # Chunked threefry with buffer donation keeps peak HBM at
+        # corpus + one chunk (a single 4 GiB jax.random call allocates
+        # 8x the output in u32 intermediates).
+        words = n // 4
+        chunk = min(words, 64 * 1024 * 1024)  # 256 MiB of corpus per fill
+
+        @functools.partial(
+            jax.jit, donate_argnums=0, static_argnames=("m",)
+        )
+        def fill(buf, key, start, *, m):
+            w = jax.random.bits(key, (m,), dtype=jnp.uint32)
+            w = jax.lax.bitcast_convert_type(w, jnp.int32)
+            return jax.lax.dynamic_update_slice(buf, w, (start,))
+
+        data = jnp.zeros(words + TILE_ELEMS // 4, dtype=jnp.int32)
+        for i, start in enumerate(range(0, words, chunk)):
+            m = min(chunk, words - start)
+            data = fill(data, jax.random.PRNGKey(i), jnp.int32(start), m=m)
+    else:
+        # host-backed path (CPU runs / toolchains with element-dtype
+        # kernels): classic host buffer, mirroring the reference bench
+        rng = np.random.default_rng(42)
+        arr = np.zeros(n + TILE_ELEMS, dtype=np.uint8)
+        arr[:n] = rng.integers(0, 256, n, dtype=np.uint8)
+        data = jnp.asarray(arr)
+    data = jax.block_until_ready(data)
 
     def step():
         counts = tile_counts(pat, data, n)
-        if counts.any():  # full production path incl. host extraction
-            extract_hot_tiles(pat, arr[:n], counts)
+        if counts.any():  # full production path incl. exact extraction
+            extract_hot_tiles_device(pat, data, counts, n)
         return counts
 
     step()  # compile

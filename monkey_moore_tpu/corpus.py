@@ -48,17 +48,23 @@ class ResidentCorpus:
         align: int,
         e_start: int,
         want_elems: int,
+        packed: bool = False,
     ):
         """Device element array of ``want_elems`` elements of the
         (alignment, endianness) grid starting at element ``e_start``.
         Reads past EOF yield padding zeros (masked by the caller's
-        valid count)."""
+        valid count).
+
+        ``packed=True`` emits the SWAR kernel's little-endian int32 word
+        layout instead (4 bytes / 2 elements per word), fused into the same
+        device pass — no extra packing sweep before the scan."""
         return _grid_fn()(
             self.device_bytes,
             align + e_start * element_width,
             s=element_width,
             big=endianness is Endianness.BIG,
             want=want_elems,
+            packed=packed,
         )
 
 
@@ -67,9 +73,20 @@ def _grid_fn():
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("s", "big", "want"))
-    def grid_on_device(device_bytes, byte_start, *, s, big, want):
+    @functools.partial(
+        jax.jit, static_argnames=("s", "big", "want", "packed")
+    )
+    def grid_on_device(device_bytes, byte_start, *, s, big, want, packed):
         raw = jax.lax.dynamic_slice(device_bytes, (byte_start,), (want * s,))
+        if packed:
+            # little-endian i32 words of the element stream (SWAR layout);
+            # for big-endian 16-bit grids the element bytes swap in place
+            order = (1, 0, 3, 2) if (s == 2 and big) else (0, 1, 2, 3)
+            parts = raw.reshape(-1, 4).astype(jnp.uint32)
+            word = parts[:, order[0]]
+            for j in (1, 2, 3):
+                word = word | (parts[:, order[j]] << jnp.uint32(8 * j))
+            return jax.lax.bitcast_convert_type(word, jnp.int32)
         if s == 1:
             return raw
         lo = raw[0::2].astype(jnp.uint16)

@@ -36,6 +36,8 @@ __all__ = [
     "dense_candidates",
     "two_phase_candidates",
     "tile_counts",
+    "extract_hot_tiles",
+    "extract_hot_tiles_device",
     "TILE_ELEMS",
 ]
 
@@ -47,8 +49,9 @@ TILE_ELEMS = DEFAULT_TILE_ROWS * LANES  # 65536 elements per counted tile
 
 
 def _use_pallas_backend(use_pallas: bool, interpret: bool, tile_elems: int) -> bool:
-    if tile_elems % LANES != 0:
-        return False  # Mosaic tiles are (rows, LANES); tiny test tiles → XLA
+    if tile_elems % (32 * LANES) != 0:
+        return False  # Mosaic tiles are (rows, LANES) with rows % 32 == 0
+        # (int8 minimum sublane tile); smaller tiles → XLA
     if interpret:
         return True
     if not use_pallas:
@@ -56,6 +59,26 @@ def _use_pallas_backend(use_pallas: bool, interpret: bool, tile_elems: int) -> b
     from .ops.scan_pallas import pallas_available
 
     return pallas_available()
+
+
+def wants_packed(
+    pat: CompiledPattern,
+    tile_elems: int = TILE_ELEMS,
+    use_pallas: bool = True,
+) -> bool:
+    """True when :func:`tile_counts` would scan via the SWAR Pallas kernel —
+    callers producing device arrays (corpus grids, uploads) should then emit
+    the packed little-endian i32 word layout (``swar_host_view`` /
+    ``ResidentCorpus.grid_chunk(packed=True)``) so no separate packing pass
+    runs before the scan."""
+    max_shift = int(pat.chk_shift_cur.max()) if len(pat.chk_shift_cur) else 0
+    if not _use_pallas_backend(use_pallas, False, tile_elems):
+        return False
+    if max_shift >= LANES or len(pat.chk_shift_cur) == 0:
+        return False
+    from .ops.scan_pallas import pallas_compute_mode
+
+    return pallas_compute_mode() == "swar"
 
 
 def tile_counts(
@@ -76,14 +99,23 @@ def tile_counts(
     enable_persistent_cache()
     import jax.numpy as jnp
 
-    if _use_pallas_backend(use_pallas, interpret, tile_elems):
+    max_shift = int(pat.chk_shift_cur.max()) if len(pat.chk_shift_cur) else 0
+    if _use_pallas_backend(use_pallas, interpret, tile_elems) and (
+        max_shift < LANES
+    ):
         from .ops.scan_pallas import tile_counts_pallas
 
-        rows = arr_device.shape[0] // LANES
+        if arr_device.dtype == np.int32 and np.dtype(pat.dtype) != np.int32:
+            # pre-packed SWAR upload (swar_host_view): one i32 word holds
+            # 4 bytes, rows stay LANES elements wide
+            lanes32 = LANES * np.dtype(pat.dtype).itemsize // 4
+            data2d = arr_device.reshape(-1, lanes32)
+        else:
+            data2d = arr_device.reshape(-1, LANES)
         tile_rows = tile_elems // LANES
         counts = tile_counts_pallas(
             pat,
-            arr_device.reshape(rows, LANES),
+            data2d,
             valid_count,
             tile_rows=tile_rows,
             interpret=interpret,
@@ -91,6 +123,9 @@ def tile_counts(
     else:
         from .ops.scan_jnp import prefilter_expected, tile_counts_xla
 
+        assert not (
+            arr_device.dtype == np.int32 and np.dtype(pat.dtype) != np.int32
+        ), "packed SWAR arrays require the Pallas backend (see wants_packed)"
         pairs = tuple(
             (int(c), int(p))
             for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
@@ -178,6 +213,64 @@ def extract_hot_tiles(
         axis=1,
     )
     return offsets + grid_offset, values
+
+
+def extract_hot_tiles_device(
+    pat: CompiledPattern,
+    arr_device,
+    counts: np.ndarray,
+    valid_count: int,
+    tile_elems: int = TILE_ELEMS,
+    grid_offset: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Phase 2 for device-resident corpora with no host mirror: fetch only
+    the hot tiles' bytes device→host (``tile_elems + L - 1`` elements each)
+    and run the exact matcher on them.
+
+    ``arr_device`` is the same array given to :func:`tile_counts` — either a
+    flat element array or the packed little-endian i32 SWAR view.
+    """
+    L = pat.length
+    itemsize = np.dtype(pat.dtype).itemsize
+    packed = arr_device.dtype == np.int32 and np.dtype(pat.dtype) != np.int32
+    elems_per_word = 4 // itemsize
+    total = (
+        arr_device.size * elems_per_word if packed else arr_device.size
+    )
+    flat = arr_device.reshape(-1)
+    shifts = recovery_shifts(pat)
+    hot = np.nonzero(counts)[0]
+    all_offsets = []
+    all_values = []
+    for t in hot.tolist():
+        s0 = t * tile_elems
+        s1 = min(total, s0 + tile_elems + L - 1)
+        if packed:
+            w0, w1 = s0 // elems_per_word, -(-s1 // elems_per_word)
+            sl = np.asarray(flat[w0:w1]).view(pat.dtype)
+            sl = sl[s0 - w0 * elems_per_word :][: s1 - s0]
+        else:
+            sl = np.asarray(flat[s0:s1])
+        # trim device padding past the valid element count
+        sl = sl[: max(0, valid_count - s0)]
+        pos = match_positions_np(pat, sl)
+        pos = pos[pos < tile_elems]
+        if len(pos):
+            v0 = sl[np.minimum(pos + shifts[0], len(sl) - 1)].astype(np.int64)
+            v1 = sl[
+                np.minimum(
+                    pos + (shifts[1] if len(shifts) > 1 else shifts[0]),
+                    len(sl) - 1,
+                )
+            ].astype(np.int64)
+            all_offsets.append(pos + s0)
+            all_values.append(np.stack([v0, v1], axis=1))
+    if not all_offsets:
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 2), dtype=np.int64)
+    return (
+        np.concatenate(all_offsets) + grid_offset,
+        np.concatenate(all_values),
+    )
 
 
 def dense_candidates(

@@ -250,7 +250,12 @@ class SearchEngine:
                     timer):
         """Two-phase dense scan (device tile counts + host hot-tile
         extraction) with per-(block, alignment) greedy suppression."""
-        from .dense import TILE_ELEMS, extract_hot_tiles, tile_counts
+        from .dense import (
+            TILE_ELEMS,
+            extract_hot_tiles,
+            tile_counts,
+            wants_packed,
+        )
 
         import jax.numpy as jnp
 
@@ -333,7 +338,14 @@ class SearchEngine:
                 if resident is not None:
                     with timer.stage("device_scan"):
                         dev_arr = resident.grid_chunk(
-                            s, cfg.endianness, a, e0, want
+                            s,
+                            cfg.endianness,
+                            a,
+                            e0,
+                            want,
+                            packed=wants_packed(
+                                pat, tile_elems, cfg.use_pallas
+                            ),
                         )
                         counts = tile_counts(
                             pat,

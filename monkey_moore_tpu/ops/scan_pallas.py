@@ -12,16 +12,22 @@ pointer skips (which serialize), every position is evaluated branchlessly at
 HBM-bandwidth; exact offsets are recovered on host only for tiles whose count
 is nonzero (``ops/scan_np.py``).
 
-Comparison semantics (see ``pattern.py``):
+Comparison semantics: mod-2^width prefilter (see ``scan_jnp.prefilter_expected``
+— may overcount, never undercounts; host extraction applies exact semantics).
 
-- unsigned (WILDCARD): ``cur - prev == Ty(expected)`` with native wraparound;
-- signed (SIMPLE/VALUE_SCAN): exact signed equality, computed without
-  widening as ``(cur - prev == Ty(e)) & ((cur >= prev) == (e >= 0))`` —
-  full-rate u8/u16 VPU ops.
+Two compute modes, auto-probed per toolchain (``pallas_compute_mode``):
 
-The kernel is specialized (recompiled) per (dtype, shift-pair tuple,
-signed-ness, tile geometry); the expected values travel in SMEM so searching
-a different same-shape keyword reuses the executable.
+- ``native``: compares in the element dtype (u8/u16) — full-rate narrow VPU
+  lanes on toolchains that legalize sub-32-bit vector arithmetic.
+- ``i32``: converts each VMEM tile to int32 after load and compares
+  ``(cur - prev) & (2^width - 1) == expected`` — every vector op is 32-bit,
+  which the axon remote-compile Mosaic service for v5e legalizes even though
+  it rejects i8/i16 vector math.  HBM traffic is identical (tiles are read at
+  element width); only the in-register compute widens.
+
+The kernel is specialized (recompiled) per (dtype, shift-pair tuple, mode,
+tile geometry); the expected values travel in SMEM so searching a different
+same-shape keyword reuses the executable.
 """
 
 from __future__ import annotations
@@ -37,61 +43,106 @@ from ..pattern import CompiledPattern
 
 __all__ = [
     "pallas_available",
+    "pallas_compute_mode",
     "tile_counts_pallas",
     "LANES",
     "DEFAULT_TILE_ROWS",
 ]
 
 LANES = 1024  # elements per row (8 VPU lane groups)
-DEFAULT_TILE_ROWS = 64  # 64 KiB per tile for u8
+DEFAULT_TILE_ROWS = 256  # 256 KiB per tile for u8 (measured: fewer grid
+# steps amortize the ~0.7 µs/step scalar prologue; 256 KiB balances kernel
+# rate against host hot-tile extraction granularity)
 
 
 _PALLAS_PROBE: dict = {}
 
 
-def pallas_available() -> bool:
-    """True when the Mosaic toolchain can compile the element-dtype kernel.
+def _run_probe_kernel(mode: str) -> None:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    Probed empirically (once per process) by compiling a tiny u8 kernel:
-    some TPU toolchains (e.g. the axon remote-compile service for v5e at the
-    time of writing) only legalize 32-bit vector arithmetic and abort on
-    i8/i16 ops — in that case the scan falls back to the fused XLA path,
-    which already sustains ~HBM-roofline on the count phase.
-    """
-    key = "ok"
-    if key in _PALLAS_PROBE:
-        return _PALLAS_PROBE[key]
-    try:
-        if jax.default_backend() not in ("tpu", "axon"):
-            _PALLAS_PROBE[key] = False
-            return False
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-
-        def probe_kernel(x_ref, o_ref):
-            a = x_ref[:]
-            o_ref[0, 0] = jnp.sum(
-                ((a - jnp.concatenate([a[:, 1:], a[:, :1]], axis=1)) == a)
-                .astype(jnp.int32)
+    def probe_kernel(x_ref, o_ref):
+        if mode == "swar":
+            # the SWAR op mix: sub/xor/or/and/shifts/mul, all i32 vectors
+            x = x_ref[:]
+            H, L7, O1 = _i32c(0x80808080), _i32c(0x7F7F7F7F), _i32c(0x01010101)
+            y = jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+            y = jax.lax.shift_right_logical(x, jnp.int32(8)) | (
+                y << jnp.int32(24)
             )
+            sub = ((x | H) - (y & L7)) ^ ((x ^ ~y) & H)
+            t = (sub & L7) + L7
+            z = ~(t | sub | L7)
+            ones = jax.lax.shift_right_logical(z, jnp.int32(7)) & O1
+            cnt = jax.lax.shift_right_logical(ones * O1, jnp.int32(24))
+            o_ref[0, 0] = jnp.sum(cnt)
+            return
+        a = x_ref[:]
+        if mode == "i32":
+            a = a.astype(jnp.int32)
+        b = jnp.concatenate([a[:, 1:], a[:, :1]], axis=1)
+        d = a - b
+        if mode == "i32":
+            d = d & jnp.int32(0xFF)
+        o_ref[0, 0] = jnp.sum((d == a).astype(jnp.int32))
 
+    if mode == "swar":
+        x = jnp.zeros((8, 128), dtype=jnp.int32)
+    else:
         x = jnp.zeros((32, 128), dtype=jnp.uint8)
-        out = pl.pallas_call(
-            probe_kernel,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        )(x)
-        jax.block_until_ready(out)
-        _PALLAS_PROBE[key] = True
-    except Exception:
-        _PALLAS_PROBE[key] = False
-    return _PALLAS_PROBE[key]
+    out = pl.pallas_call(
+        probe_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+    )(x)
+    jax.block_until_ready(out)
+
+
+def pallas_compute_mode() -> str | None:
+    """Which Pallas compute mode this toolchain legalizes (probed once).
+
+    Returns ``"native"`` (element-dtype vector math), ``"swar"`` (elements
+    packed 4-or-2-per-int32-lane, every vector op 32-bit — the fast mode on
+    the axon remote-compile Mosaic service for v5e, which rejects i8/i16
+    vector arithmetic but legalizes all 32-bit ops), ``"i32"``
+    (per-element convert to 32-bit — legal in the same places as swar but
+    ~2-3x more vector work), or ``None`` (no Pallas; fall back to the fused
+    XLA path).  Override with ``MMTPU_PALLAS_MODE=native|swar|i32|off``.
+    """
+    if "mode" in _PALLAS_PROBE:
+        return _PALLAS_PROBE["mode"]
+    import os
+
+    forced = os.environ.get("MMTPU_PALLAS_MODE", "").strip().lower()
+    if forced in ("native", "swar", "i32"):
+        _PALLAS_PROBE["mode"] = forced
+        return forced
+    if forced == "off":
+        _PALLAS_PROBE["mode"] = None
+        return None
+    mode = None
+    if jax.default_backend() in ("tpu", "axon"):
+        for candidate in ("native", "swar", "i32"):
+            try:
+                _run_probe_kernel(candidate)
+                mode = candidate
+                break
+            except Exception:
+                continue
+    _PALLAS_PROBE["mode"] = mode
+    return mode
+
+
+def pallas_available() -> bool:
+    """True when some Pallas compute mode compiles on this toolchain."""
+    return pallas_compute_mode() is not None
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pairs", "length", "tile_rows", "interpret"),
+    static_argnames=("pairs", "length", "tile_rows", "widen", "interpret"),
 )
 def _tile_counts_call(
     data2d: jnp.ndarray,
@@ -101,6 +152,7 @@ def _tile_counts_call(
     pairs: Tuple[Tuple[int, int], ...],
     length: int,
     tile_rows: int,
+    widen: bool,
     interpret: bool,
 ):
     from jax.experimental import pallas as pl
@@ -111,13 +163,21 @@ def _tile_counts_call(
     # last tile = halo/padding, not counted (shared contract with
     # scan_jnp.tile_counts_xla)
     num_tiles = rows // tile_rows - 1
+    elem_mask = int(np.iinfo(np.dtype(data2d.dtype)).max)
 
     def kernel(expected_ref, valid_ref, tile_ref, next_ref, out_ref):
         i = pl.program_id(0)
         tile = tile_ref[:]
+        halo = next_ref[0:1]
+        if widen:
+            # all vector math in 32-bit (sub-32-bit arithmetic does not
+            # legalize on this toolchain); HBM/VMEM traffic stays at
+            # element width — only the in-register compute widens
+            tile = tile.astype(jnp.int32)
+            halo = halo.astype(jnp.int32)
         # rows shifted down by one (element index + LANES); the halo block is
         # 8 sublanes (Mosaic tiling minimum) of which only row 0 is used
-        down = jnp.concatenate([tile[1:], next_ref[0:1]], axis=0)
+        down = jnp.concatenate([tile[1:], halo], axis=0)
 
         def shifted(s):
             if s == 0:
@@ -129,26 +189,38 @@ def _tile_counts_call(
             cur = shifted(cs)
             prev = shifted(ps)
             # expected travels as int32 in SMEM (SMEM prefers 32-bit
-            # scalars); cast to the element dtype for the mod-2^width
-            # prefilter compare (host extraction applies exact semantics)
-            e = expected_ref[k].astype(tile.dtype)
-            okk = (cur - prev) == e
+            # scalars); compare mod 2^width in either mode (prefilter —
+            # host extraction applies exact semantics)
+            if widen:
+                okk = ((cur - prev) & jnp.int32(elem_mask)) == expected_ref[k]
+            else:
+                e = expected_ref[k].astype(tile.dtype)
+                okk = (cur - prev) == e
             ok = okk if ok is None else jnp.logical_and(ok, okk)
         if ok is None:
             ok = jnp.ones(tile.shape, dtype=jnp.bool_)
 
-        # mask window starts that poke past the valid element count
-        base = i * (tile_rows * lanes)
+        # mask window starts that poke past the valid element count.
+        # positions are tile-relative against a per-tile scalar threshold
+        # (valid = vt * tile_elems + vr, split on host) so corpora larger
+        # than 2^31 elements never overflow the int32 lanes
         r = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
         c = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
-        pos = base + r * lanes + c
-        ok = jnp.logical_and(ok, pos <= valid_ref[0] - length)
+        local_pos = r * lanes + c
+        vt, vr = valid_ref[0], valid_ref[1]
+        thr = jnp.where(
+            i < vt, jnp.int32(tile_rows * lanes), jnp.where(i == vt, vr, -1)
+        )
+        ok = jnp.logical_and(ok, local_pos <= thr)
 
-        # whole counts vector lives in SMEM; each (sequential) grid step
-        # writes its own slot
-        out_ref[i, 0] = jnp.sum(ok.astype(jnp.int32))
+        # one (8, 128) VMEM output block per grid step, count broadcast over
+        # the block (a whole-counts SMEM vector exceeds the 1 MiB SMEM budget
+        # past ~2k tiles, and sub-(8,128) VMEM blocks don't lower); the host
+        # reads element [8*t, 0] per tile — 4 KiB per 64 KiB tile scanned
+        cnt = jnp.sum(ok.astype(jnp.int32))
+        out_ref[:] = jnp.broadcast_to(cnt, (8, 128))
 
-    return pl.pallas_call(
+    raw = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[
@@ -165,10 +237,185 @@ def _tile_counts_call(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 1), jnp.int32),
+        out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
         interpret=interpret,
     )(expected, valid, data2d, data2d)
+    # compact inside the jit so only int32[T] crosses the device boundary
+    return raw[::8, 0]
+
+
+def _i32c(value: int) -> jnp.ndarray:
+    """int32 constant from a u32 bit pattern (e.g. 0x80808080)."""
+    return jnp.int32(np.int32(np.uint32(value & 0xFFFFFFFF)))
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def _pack_words(data2d: jnp.ndarray, *, width: int):
+    """On-device fallback packing of an element array into little-endian i32
+    words (one relayout pass; prefer uploading ``swar_host_view`` instead)."""
+    rows, lanes = data2d.shape
+    k = 4 // width
+    u = data2d.astype(jnp.uint32)
+    parts = u.reshape(rows, lanes // k, k)
+    word = parts[..., 0]
+    for j in range(1, k):
+        word = word | (parts[..., j] << jnp.uint32(8 * width * j))
+    return word.astype(jnp.int32)
+
+
+def swar_host_view(arr: np.ndarray) -> np.ndarray:
+    """Free reinterpretation of a host element buffer as packed little-endian
+    int32 words (the SWAR kernel's operand layout).  Upload THIS to keep the
+    device buffer bitcast-free."""
+    assert arr.dtype.itemsize in (1, 2)
+    assert arr.nbytes % 4 == 0
+    return arr.reshape(-1).view("<i4")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pairs", "length", "tile_rows", "width", "interpret"),
+)
+def _tile_counts_swar_call(
+    packed2d: jnp.ndarray,
+    expected: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    pairs: Tuple[Tuple[int, int], ...],
+    length: int,
+    tile_rows: int,
+    width: int,
+    interpret: bool,
+):
+    """SWAR tile-count kernel: elements packed 4-(u8) or 2-(u16) per int32
+    lane, every vector op 32-bit (legal on Mosaic toolchains that reject
+    sub-32-bit vector math, unlike the ``native`` kernel) while each op still
+    processes 4 bytes per lane (unlike the 4x-widened ``i32`` kernel).
+
+    ``packed2d``: (rows, lanes32) int32, little-endian bytes — element p of
+    the flat corpus lives in word ``p*W//4`` at byte offset ``p*W%4``
+    (``swar_host_view``).  Same row/tile geometry as the element-dtype kernel:
+    one row = ``4*lanes32`` bytes; counts per ``tile_rows`` rows.
+
+    Per check (cur, prev): ``acc |= swar_sub(S_cur, S_prev) ^ splat(e)`` —
+    a window matches iff its acc element is 0, detected once at the end with
+    the carry-free zero-byte trick, so per-check cost is just shift/sub/xor/or.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, lanes32 = packed2d.shape
+    assert tile_rows % 8 == 0, "tile_rows must be a multiple of 8 sublanes"
+    num_tiles = rows // tile_rows - 1
+    k_per_word = 4 // width  # elements per i32 word
+    ebits = 8 * width
+    if width == 1:
+        H, LOW, ONES = 0x80808080, 0x7F7F7F7F, 0x01010101
+    else:
+        H, LOW, ONES = 0x80008000, 0x7FFF7FFF, 0x00010001
+
+    def kernel(expected_ref, valid_ref, tile_ref, next_ref, out_ref):
+        i = pl.program_id(0)
+        tile = tile_ref[:]
+        down = jnp.concatenate([tile[1:], next_ref[0:1]], axis=0)
+
+        lane_cache = {}
+
+        def lane_shifted(q):
+            # view shifted by q whole i32 words
+            if q == 0:
+                return tile
+            if q == lanes32:
+                return down
+            return jnp.concatenate([tile[:, q:], down[:, :q]], axis=1)
+
+        def elem_shifted(s):
+            # view shifted by s elements = s*width bytes
+            if s in lane_cache:
+                return lane_cache[s]
+            q, r = divmod(s * width, 4)
+            lo = lane_shifted(q)
+            if r == 0:
+                out = lo
+            else:
+                # crossing word boundaries: little-endian, so byte p+1 is
+                # the next-higher byte — logical right shift + next word's
+                # low bytes
+                out = jax.lax.shift_right_logical(lo, jnp.int32(8 * r)) | (
+                    lane_shifted(q + 1) << jnp.int32(32 - 8 * r)
+                )
+            lane_cache[s] = out
+            return out
+
+        hH, hLOW, hONES = _i32c(H), _i32c(LOW), _i32c(ONES)
+        acc = None
+        for k, (cs, ps) in enumerate(pairs):
+            x = elem_shifted(cs)
+            y = elem_shifted(ps)
+            # carry-free elementwise subtraction mod 2^ebits (Hacker's
+            # Delight): borrow never crosses the per-element boundary
+            sub = ((x | hH) - (y & hLOW)) ^ ((x ^ ~y) & hH)
+            esplat = expected_ref[k] * hONES
+            diff = sub ^ esplat
+            acc = diff if acc is None else acc | diff
+        if acc is None:
+            acc = jnp.zeros(tile.shape, dtype=jnp.int32)
+
+        # zero-element detect: top bit of each element set iff element == 0
+        t = (acc & hLOW) + hLOW
+        z = ~(t | acc | hLOW)
+
+        # mask element positions past valid - length: tile-relative
+        # positions against a per-tile scalar threshold (valid split into
+        # tile index + remainder on host) — int32-safe for corpora larger
+        # than 2^31 elements
+        r_ = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
+        c_ = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+        pos0 = (r_ * lanes32 + c_) * k_per_word
+        vt, vr = valid_ref[0], valid_ref[1]
+        tile_elems = tile_rows * lanes32 * k_per_word
+        thr = jnp.where(
+            i < vt, jnp.int32(tile_elems), jnp.where(i == vt, vr, -1)
+        )
+        top = 0x80 if width == 1 else 0x8000
+        vm = None
+        for j in range(k_per_word):
+            bit = _i32c(top << (ebits * j))
+            keep = jnp.where(pos0 + j <= thr, bit, 0)
+            vm = keep if vm is None else vm | keep
+        z = z & vm
+
+        # per-word population count of matching elements (each element
+        # contributes 1 at its low bit after the shift; multiply-accumulate
+        # sums the element lanes into the top element)
+        ones = jax.lax.shift_right_logical(z, jnp.int32(ebits - 1)) & hONES
+        cnt = jax.lax.shift_right_logical(
+            ones * hONES, jnp.int32(32 - ebits)
+        )
+        out_ref[:] = jnp.broadcast_to(jnp.sum(cnt), (8, 128))
+
+    raw = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # expected
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # valid
+            pl.BlockSpec(
+                (tile_rows, lanes32), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, lanes32),
+                lambda i: ((i + 1) * (tile_rows // 8), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
+        interpret=interpret,
+    )(expected, valid, packed2d, packed2d)
+    return raw[::8, 0]
 
 
 def tile_counts_pallas(
@@ -177,6 +424,7 @@ def tile_counts_pallas(
     valid_count: int,
     tile_rows: int = DEFAULT_TILE_ROWS,
     interpret: bool = False,
+    mode: str | None = None,
 ) -> jnp.ndarray:
     """Per-tile match counts for a (rows, LANES) element array.
 
@@ -192,10 +440,14 @@ def tile_counts_pallas(
     )
     rows, lanes = data2d.shape
     num_tiles = rows // tile_rows - 1
+    packed = data2d.dtype == jnp.int32 and np.dtype(pat.dtype) != np.int32
+    elems_per_row = (
+        lanes * (4 // np.dtype(pat.dtype).itemsize) if packed else lanes
+    )
+    tile_elems = tile_rows * elems_per_row
     if not pairs:
         # No literal checks (e.g. all-wildcard keyword): every valid window
         # matches; count directly.
-        tile_elems = tile_rows * lanes
         starts = np.arange(num_tiles) * tile_elems
         last_valid = valid_count - pat.length  # inclusive
         counts = np.clip(last_valid + 1 - starts, 0, tile_elems)
@@ -203,14 +455,41 @@ def tile_counts_pallas(
     from .scan_jnp import prefilter_expected
 
     expected = jnp.asarray(prefilter_expected(pat).astype(np.int32))
-    valid = jnp.asarray([valid_count], dtype=jnp.int32)
-    counts = _tile_counts_call(
-        data2d,
-        expected,
-        valid,
-        pairs=pairs,
-        length=pat.length,
-        tile_rows=tile_rows,
-        interpret=interpret,
+    # int32-overflow-safe valid-limit encoding: the index of the tile
+    # holding the last valid window start, plus the tile-relative remainder
+    lim = valid_count - pat.length
+    valid = jnp.asarray(
+        [lim // tile_elems, lim % tile_elems], dtype=jnp.int32
     )
-    return counts[:, 0]
+    if mode is None:
+        mode = (pallas_compute_mode() or "native") if not interpret else "native"
+    if packed:
+        mode = "swar"  # pre-packed upload implies the SWAR layout
+    if mode == "swar":
+        width = np.dtype(pat.dtype).itemsize
+        if data2d.dtype == jnp.int32:
+            packed2d = data2d  # pre-packed upload (swar_host_view)
+        else:
+            packed2d = _pack_words(data2d, width=width)
+        counts = _tile_counts_swar_call(
+            packed2d,
+            expected,
+            valid,
+            pairs=pairs,
+            length=pat.length,
+            tile_rows=tile_rows,
+            width=width,
+            interpret=interpret,
+        )
+    else:
+        counts = _tile_counts_call(
+            data2d,
+            expected,
+            valid,
+            pairs=pairs,
+            length=pat.length,
+            tile_rows=tile_rows,
+            widen=mode == "i32",
+            interpret=interpret,
+        )
+    return counts

@@ -231,6 +231,38 @@ class TestEdges:
         assert dense_search(pat, data, MatchSemantics.REFERENCE) == []
 
 
+class TestDeviceResidentExtraction:
+    @pytest.mark.parametrize("packed", [False, True])
+    def test_matches_host_extraction(self, packed):
+        import jax.numpy as jnp
+        from monkey_moore_tpu.dense import (
+            TILE_ELEMS,
+            extract_hot_tiles,
+            extract_hot_tiles_device,
+            tile_counts,
+        )
+        from monkey_moore_tpu.ops.scan_pallas import swar_host_view
+
+        pat = compile_pattern("abcde")
+        n = 2 * TILE_ELEMS + 77
+        arr = np.zeros(4 * TILE_ELEMS, dtype=np.uint8)
+        kw = (np.array(pat.keyword) + 3).astype(np.uint8)
+        arr[10 : 15] = kw
+        arr[TILE_ELEMS - 2 : TILE_ELEMS + 3] = kw  # straddles tiles 0/1
+        arr[n - 5 : n] = kw  # last valid window
+        arr[n + 8 : n + 13] = kw  # past valid: must be dropped
+        dev = jnp.asarray(swar_host_view(arr) if packed else arr)
+        counts = tile_counts(pat, jnp.asarray(arr), n)
+        off_host, val_host = extract_hot_tiles(pat, arr[:n], counts)
+        off_dev, val_dev = extract_hot_tiles_device(pat, dev, counts, n)
+        assert off_dev.tolist() == off_host.tolist() == [
+            10,
+            TILE_ELEMS - 2,
+            n - 5,
+        ]
+        assert val_dev.tolist() == val_host.tolist()
+
+
 def brute_force_prefilter(pat, data):
     """The device phase's mod-2^width prefilter semantics: a superset of
     brute_force_all (host extraction applies exact semantics afterwards)."""
@@ -279,6 +311,53 @@ class TestPallasKernelInterpret:
         offsets, _ = dense_candidates(pat, data)
         assert offsets.tolist() == brute_force_all(pat, data)
         assert 1 not in offsets.tolist()
+
+    @pytest.mark.parametrize("mode", ["swar", "swar-packed"])
+    @pytest.mark.parametrize("name,make", CORPORA, ids=[n for n, _ in CORPORA])
+    def test_swar_mode_counts_match_brute_force(self, name, make, mode):
+        # the SWAR mode (elements packed into i32 lanes, pure 32-bit vector
+        # math) must be count-identical to the element-dtype kernel, both
+        # from an element-dtype array (in-jit packing) and from a pre-packed
+        # little-endian host view (swar_host_view upload)
+        import jax.numpy as jnp
+        from monkey_moore_tpu.dense import TILE_ELEMS
+        from monkey_moore_tpu.ops.scan_pallas import (
+            LANES,
+            swar_host_view,
+            tile_counts_pallas,
+        )
+
+        pat, data = make()
+        n = len(data)
+        arr = np.zeros(2 * TILE_ELEMS, dtype=pat.dtype)
+        arr[:n] = data
+        if mode == "swar-packed":
+            lanes32 = LANES * arr.dtype.itemsize // 4
+            data2d = jnp.asarray(swar_host_view(arr)).reshape(-1, lanes32)
+        else:
+            data2d = jnp.asarray(arr).reshape(-1, LANES)
+        counts = tile_counts_pallas(
+            pat, data2d, n, interpret=True, mode="swar"
+        )
+        assert counts.tolist() == [len(brute_force_prefilter(pat, data))]
+
+    @pytest.mark.parametrize("name,make", CORPORA, ids=[n for n, _ in CORPORA])
+    def test_i32_mode_counts_match_native(self, name, make):
+        # the widened 32-bit compute mode (for toolchains that reject
+        # sub-32-bit vector math) must be count-identical to native
+        import jax.numpy as jnp
+        from monkey_moore_tpu.dense import TILE_ELEMS
+        from monkey_moore_tpu.ops.scan_pallas import LANES, tile_counts_pallas
+
+        pat, data = make()
+        n = len(data)
+        arr = np.zeros(2 * TILE_ELEMS, dtype=pat.dtype)
+        arr[:n] = data
+        data2d = jnp.asarray(arr).reshape(-1, LANES)
+        counts = tile_counts_pallas(
+            pat, data2d, n, interpret=True, mode="i32"
+        )
+        assert counts.tolist() == [len(brute_force_prefilter(pat, data))]
 
     def test_cross_tile_window_counted(self):
         import jax.numpy as jnp
