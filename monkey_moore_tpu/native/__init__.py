@@ -137,8 +137,12 @@ def native_walk(pat: CompiledPattern, data: np.ndarray) -> Optional[np.ndarray]:
         return int(count), out
 
     # The walker reports the true count even past capacity; retry once with
-    # the exact size on overflow.
+    # the exact size on overflow.  A negative count means the walker refused
+    # a degenerate (non-terminating) pattern — fall back to the oracle,
+    # whose guards raise the documented ValueError.
     count, out = run(65536)
+    if count < 0:
+        return None
     if count > 65536:
         count, out = run(count)
     return out[:count].copy()

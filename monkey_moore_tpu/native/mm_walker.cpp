@@ -24,6 +24,7 @@ template <typename Ty>
 int64_t walk_simple(const Ty *data, int64_t n, int32_t L,
                     const int32_t *expected_diff, const int32_t *skip,
                     int32_t tmax, int64_t *out, int64_t cap) {
+  if (L < 2) return -1;  // post-match advance L-1 would not progress
   int64_t count = 0;
   int64_t p = 0;
   while (p + L <= n) {
@@ -65,6 +66,11 @@ int64_t walk_wildcard(const Ty *data, int64_t n, int32_t L,
                       const uint32_t *wc_mask, const int32_t *skip,
                       const int32_t *wskip, int32_t tmax, int32_t advance,
                       int64_t *out, int64_t cap) {
+  // Degenerate patterns (L<2, or every literal inside the leading-wildcard
+  // span giving advance<=0) would loop forever at the first match; refuse
+  // them so a library caller can never hang in C (the Python layer routes
+  // these to the oracle's guards, which raise).
+  if (L < 2 || advance < 1) return -1;
   int64_t count = 0;
   int64_t p = 0;
   const uint32_t ty_mask = (uint32_t)tmax;  // 0xFF / 0xFFFF

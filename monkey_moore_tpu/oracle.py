@@ -154,6 +154,13 @@ def reference_walk(pat: CompiledPattern, data) -> List[Result]:
     Both replay identical dynamics; the native path exists because the
     sequential walk is inherently scalar work where C is ~100x Python."""
     data = _as_elements(data, pat.dtype)
+    if pat.length < 2 or pat.advance <= 0:
+        # Degenerate patterns (L=1, or all literals inside the leading-
+        # wildcard span) make the reference walk non-terminating; route them
+        # to the oracle's guards BEFORE touching the native walker, which
+        # would otherwise spin forever in C (its `p += advance` never
+        # progresses past a match).
+        return oracle_search(pat, data)
     try:
         from .native import native_walk
 
@@ -161,9 +168,6 @@ def reference_walk(pat: CompiledPattern, data) -> List[Result]:
     except Exception:
         offsets = None
     if offsets is None:
-        return oracle_search(pat, data)
-    if pat.length < 2 or pat.advance <= 0:
-        # keep the oracle's guard semantics for degenerate patterns
         return oracle_search(pat, data)
     return [_emit(pat, data, int(p)) for p in offsets]
 

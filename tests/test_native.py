@@ -77,6 +77,25 @@ class TestNativeWalker:
         assert native.tolist() == oracle
         assert len(native) > 65536 // 2
 
+    def test_degenerate_advance_does_not_hang(self):
+        # keyword "**a": all literals sit inside the leading-wildcard span,
+        # advance = L-1-leading = 0 — the reference infinite-loops on the
+        # first match.  The walker must refuse (return -1) and reference_walk
+        # must surface the oracle's ValueError instead of spinning in C.
+        data = np.full(64, ord("a"), dtype=np.uint8)  # every window matches
+        pat = compile_pattern("**a", "*")
+        assert pat.advance <= 0
+        assert native_walk(pat, data) is None  # refused, not hung
+        with pytest.raises(ValueError, match="advance"):
+            reference_walk(pat, data)
+
+    def test_length_one_does_not_hang(self):
+        data = np.full(64, ord("a"), dtype=np.uint8)
+        pat = compile_pattern("a")
+        assert native_walk(pat, data) is None
+        with pytest.raises(ValueError):
+            reference_walk(pat, data)
+
     def test_reference_walk_returns_maps(self):
         data = (np.array([ord(c) for c in "xxcatchyy"]) + 3).astype(np.uint8)
         pat = compile_pattern("catch")
