@@ -253,6 +253,7 @@ class SearchEngine:
         from .dense import (
             TILE_ELEMS,
             extract_hot_tiles,
+            extract_hot_tiles_device,
             tile_counts,
             wants_packed,
         )
@@ -317,25 +318,19 @@ class SearchEngine:
                     continue
                 want = (tiles_per_chunk + 1) * tile_elems
                 if mesh is not None:
-                    from .parallel.sharded import sharded_candidates
+                    # Same two-phase design as single-device, with phase 1
+                    # under shard_map: per-device tile counts + one-ICI-hop
+                    # ppermute halo; phase 2 (exact extraction) is the
+                    # shared host tail below.
+                    from .parallel.sharded import sharded_tile_counts
 
                     with timer.stage("decode"):
                         arr = self._decode_grid(data, a, e0, count_here)
                     with timer.stage("device_scan"):
-                        offs, vals = sharded_candidates(pat, arr, mesh)
-                    timer.stats.device_dispatches += 1
-                    timer.stats.bytes_scanned += count_here * s
-                    keep = offs < chunk_elems
-                    offs, vals = offs[keep], vals[keep]
-                    timer.stats.candidates += len(offs)
-                    for off, val in zip(offs.tolist(), vals.tolist()):
-                        e_global = e0 + off
-                        byte_off = a + e_global * s
-                        block_id = byte_off // base
-                        per_group.setdefault((block_id, a), []).append(e_global)
-                        candidate_info[(a, e_global)] = (byte_off, val)
-                    continue
-                if resident is not None:
+                        counts = sharded_tile_counts(
+                            pat, arr, mesh, count_here, tile_elems
+                        )
+                elif resident is not None:
                     with timer.stage("device_scan"):
                         dev_arr = resident.grid_chunk(
                             s,
@@ -373,10 +368,16 @@ class SearchEngine:
                     timer.stats.hot_tiles += int((counts > 0).sum())
                     with timer.stage("host_extract"):
                         if resident is not None:
-                            arr = self._decode_grid(data, a, e0, count_here)
-                        offs, vals = extract_hot_tiles(
-                            pat, arr[:count_here], counts, tile_elems
-                        )
+                            # fetch only the hot tiles device->host
+                            # (tile_elems + L - 1 elements each) instead of
+                            # re-decoding the whole chunk on host
+                            offs, vals = extract_hot_tiles_device(
+                                pat, dev_arr, counts, count_here, tile_elems
+                            )
+                        else:
+                            offs, vals = extract_hot_tiles(
+                                pat, arr[:count_here], counts, tile_elems
+                            )
                     timer.stats.candidates += len(offs)
                     # chunk scans only own starts within [0, chunk_elems)
                     keep = offs < chunk_elems

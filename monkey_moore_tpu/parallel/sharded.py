@@ -26,7 +26,12 @@ from ..ops.scan_jnp import match_bitmap, compact_matches, pattern_device_args
 from ..pattern import CompiledPattern
 from .mesh import DATA_AXIS
 
-__all__ = ["sharded_scan_fn", "sharded_candidates"]
+__all__ = [
+    "sharded_scan_fn",
+    "sharded_candidates",
+    "sharded_tile_counts",
+    "shard_grid",
+]
 
 
 def sharded_scan_fn(
@@ -81,6 +86,114 @@ def sharded_scan_fn(
 @functools.lru_cache(maxsize=64)
 def _cached_fn(mesh, length, signed_compare, capacity):
     return sharded_scan_fn(mesh, length, signed_compare, capacity)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase sharded scan: the multi-device twin of the single-device design
+# (device tile-count prefilter + host hot-tile extraction, ``dense.py``),
+# replacing on-device offset compaction with 4-bytes-per-tile counts.
+
+
+def shard_grid(arr: np.ndarray, mesh: Mesh, tile_elems: int):
+    """Pad a host element array to whole per-device tile spans and place it
+    sharded across the mesh's data axis.  Returns (device_array, T) where T
+    is the number of counted tiles covering ``len(arr)`` elements."""
+    import jax
+
+    from jax.sharding import NamedSharding
+
+    n = len(arr)
+    d = mesh.shape[DATA_AXIS]
+    t_total = max(1, -(-n // tile_elems))
+    t_loc = -(-t_total // d)
+    padded = d * t_loc * tile_elems
+    if padded != n:
+        arr = np.pad(arr, (0, padded - n))
+    dev = jax.device_put(arr, NamedSharding(mesh, P(DATA_AXIS)))
+    return dev, t_total
+
+
+def _sharded_counts_fn(mesh: Mesh, pairs, length: int, tile_elems: int):
+    """Jitted SPMD phase-1 prefilter: each device counts matches per tile in
+    its shard, with a one-ICI-hop ``ppermute`` halo of one tile from the
+    right neighbor (the collective analog of the reference's overlapping
+    block reads, ``search_engine.cpp:223-252``)."""
+    import jax
+
+    from ..ops.scan_jnp import _count_body
+
+    n_dev = mesh.shape[DATA_AXIS]
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def local_counts(d_local, valid_local, expected):
+        # d_local: [T_loc * tile_elems]; valid_local: [1] int32 (the number
+        # of valid elements relative to this shard's base, pre-clipped on
+        # host so int32 never overflows on huge corpora)
+        halo = jax.lax.ppermute(d_local[:tile_elems], DATA_AXIS, perm)
+        ext = jnp.concatenate([d_local, halo])
+        counts = _count_body(
+            ext, valid_local[0], expected, pairs, length, tile_elems
+        )
+        return counts[None]
+
+    mapped = jax.shard_map(
+        local_counts,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_counts_fn(mesh, pairs, length, tile_elems):
+    return _sharded_counts_fn(mesh, pairs, length, tile_elems)
+
+
+def sharded_tile_counts(
+    pat: CompiledPattern,
+    data,
+    mesh: Mesh,
+    valid_count: int,
+    tile_elems: int,
+) -> np.ndarray:
+    """Phase 1 across a mesh: int32[T] per-tile prefilter match counts for
+    the whole corpus in ONE collective dispatch.
+
+    ``data`` is either a host element array (placed sharded on first use) or
+    a device array already produced by :func:`shard_grid`.  Same count
+    contract as ``dense.tile_counts``; exact offsets are recovered on host
+    from the hot tiles only.
+    """
+    import jax
+
+    if isinstance(data, np.ndarray):
+        dev, t_total = shard_grid(
+            np.ascontiguousarray(data, dtype=pat.dtype), mesh, tile_elems
+        )
+    else:
+        dev, t_total = data, max(1, -(-valid_count // tile_elems))
+    d = mesh.shape[DATA_AXIS]
+    shard = dev.shape[0] // d
+
+    from ..ops.scan_jnp import prefilter_expected
+    from jax.sharding import NamedSharding
+
+    bases = np.arange(d, dtype=np.int64) * shard
+    valid_local = np.clip(
+        valid_count - bases, 0, shard + tile_elems
+    ).astype(np.int32)
+    valid_dev = jax.device_put(
+        valid_local, NamedSharding(mesh, P(DATA_AXIS))
+    )
+    pairs = tuple(
+        (int(c), int(p))
+        for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
+    )
+    fn = _cached_counts_fn(mesh, pairs, pat.length, tile_elems)
+    counts = fn(dev, valid_dev, jnp.asarray(prefilter_expected(pat)))
+    return np.asarray(counts).reshape(-1)[:t_total]
 
 
 def sharded_candidates(

@@ -79,6 +79,62 @@ class TestShardEdges:
         assert offs.tolist() == offs_single.tolist()
 
 
+class TestShardedTileCounts:
+    """Two-phase phase 1 under shard_map: per-tile prefilter counts across
+    the mesh must equal the single-device prefilter counts tile-for-tile."""
+
+    @pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+    def test_counts_match_single_device(self, devices, n_dev, rng):
+        import jax.numpy as jnp
+
+        from monkey_moore_tpu.dense import tile_counts
+        from monkey_moore_tpu.parallel.sharded import sharded_tile_counts
+
+        tile_elems = 256
+        mesh = make_mesh(devices, n=n_dev)
+        n = 8 * 1024 + 123  # ragged tail
+        data = rng.integers(0, 256, n).astype(np.uint8)
+        pat = compile_pattern("abcde")
+        kw = np.array(pat.keyword, dtype=np.int64)
+        shard_elems = -(-(-(-n // tile_elems)) // n_dev) * tile_elems
+        # plant matches mid-tile, straddling each shard boundary, at EOF
+        plants = [3, n - 5]
+        plants += [shard_elems * i - 2 for i in range(1, n_dev)]
+        for i, pos in enumerate(plants):
+            if 0 <= pos <= n - 5:
+                data[pos : pos + 5] = ((kw + i) % 256).astype(np.uint8)
+        counts_mesh = sharded_tile_counts(pat, data, mesh, n, tile_elems)
+
+        t = -(-n // tile_elems)
+        arr = np.zeros((t + 1) * tile_elems, dtype=np.uint8)
+        arr[:n] = data
+        counts_single = tile_counts(
+            pat, jnp.asarray(arr), n, use_pallas=False, tile_elems=tile_elems
+        )
+        assert counts_mesh.tolist() == counts_single.tolist()
+        assert counts_mesh.sum() >= len([p for p in plants if 0 <= p <= n - 5])
+
+    def test_counts_16bit_wildcard(self, devices, rng):
+        import jax.numpy as jnp
+
+        from monkey_moore_tpu.dense import tile_counts
+        from monkey_moore_tpu.parallel.sharded import sharded_tile_counts
+
+        tile_elems = 128
+        mesh = make_mesh(devices, n=4)
+        n = 3000
+        data = rng.integers(0, 65536, n).astype(np.uint16)
+        pat = compile_pattern("ab*de", "*", dtype=np.uint16)
+        counts_mesh = sharded_tile_counts(pat, data, mesh, n, tile_elems)
+        t = -(-n // tile_elems)
+        arr = np.zeros((t + 1) * tile_elems, dtype=np.uint16)
+        arr[:n] = data
+        counts_single = tile_counts(
+            pat, jnp.asarray(arr), n, use_pallas=False, tile_elems=tile_elems
+        )
+        assert counts_mesh.tolist() == counts_single.tolist()
+
+
 class TestHostRanges:
     def test_ranges_cover_file_with_halo(self):
         fs, L, s = 1000, 5, 2
