@@ -298,9 +298,25 @@ def _tile_counts_swar_call(
     (``swar_host_view``).  Same row/tile geometry as the element-dtype kernel:
     one row = ``4*lanes32`` bytes; counts per ``tile_rows`` rows.
 
-    Per check (cur, prev): ``acc |= swar_sub(S_cur, S_prev) ^ splat(e)`` —
-    a window matches iff its acc element is 0, detected once at the end with
-    the carry-free zero-byte trick, so per-check cost is just shift/sub/xor/or.
+    Hot-loop structure (compute-bound; every op trimmed):
+
+    - **Diff reuse**: checks are grouped by bridge distance ``d = cs - ps``;
+      the carry-free SWAR subtraction (7 vector ops) runs ONCE per distinct
+      distance to produce ``D_d[e] = data[e+d] - data[e]``, and each check
+      then costs only an element shift of the cached diff array + xor with
+      the expected value + or into the accumulator.  For plain keywords
+      (every bridge distance 1) this replaces L-1 subtractions with one.
+    - **Pre-splatted expected**: ``expected`` arrives from SMEM already
+      splatted across the i32 word (``e * 0x01010101``), so the per-check
+      compare is a single scalar-broadcast xor — no per-word multiply.
+    - **Boundary-only validity masking**: every window start inside a fully
+      valid tile is counted unmasked; the one tile containing
+      ``valid - length`` runs the exact per-element mask under ``pl.when``
+      and tiles past it write 0.  Steady-state tiles pay zero masking cost
+      while counts stay exactly equal to the prefilter semantics.
+
+    A window matches iff its accumulator element is 0, detected once at the
+    end with the carry-free zero-element trick, then population-counted.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -315,85 +331,126 @@ def _tile_counts_swar_call(
     else:
         H, LOW, ONES = 0x80008000, 0x7FFF7FFF, 0x00010001
 
+    # group checks by bridge distance so the SWAR subtraction runs once per
+    # distinct distance (see docstring); plain keywords have one group
+    groups: dict = {}
+    for k, (cs, ps) in enumerate(pairs):
+        groups.setdefault(cs - ps, []).append((k, ps))
+
     def kernel(expected_ref, valid_ref, tile_ref, next_ref, out_ref):
         i = pl.program_id(0)
         tile = tile_ref[:]
-        down = jnp.concatenate([tile[1:], next_ref[0:1]], axis=0)
+        nxt = next_ref[:]  # (8, lanes32) halo rows past the tile
+        hH, hLOW, hONES = _i32c(H), _i32c(LOW), _i32c(ONES)
 
-        lane_cache = {}
+        # Full-height extended arrays: Mosaic rejects lane-dim concats of
+        # 1-row slices with offset layouts ("result/input offset mismatch on
+        # non-concat dimension"), so every lane concat below keeps the full
+        # sublane extent — compute runs on tile_rows+8 rows and the halo
+        # rows are sliced off the accumulator before counting.  The extra
+        # 8 rows cost <1% FLOPs at tile_rows >= 1024.
+        ext = jnp.concatenate([tile, nxt], axis=0)
+        # row r+1 view of ext; the final (duplicated) row is junk, consumed
+        # only by rows past tile_rows+5 which are sliced away
+        ext_down = jnp.concatenate([tile[1:], nxt, nxt[7:8]], axis=0)
 
-        def lane_shifted(q):
-            # view shifted by q whole i32 words
-            if q == 0:
-                return tile
-            if q == lanes32:
-                return down
-            return jnp.concatenate([tile[:, q:], down[:, :q]], axis=1)
+        def swar_sub(x, y):
+            # carry-free elementwise subtraction mod 2^ebits (Hacker's
+            # Delight): borrow never crosses the per-element boundary
+            return ((x | hH) - (y & hLOW)) ^ ((x ^ ~y) & hH)
 
-        def elem_shifted(s):
-            # view shifted by s elements = s*width bytes
-            if s in lane_cache:
-                return lane_cache[s]
-            q, r = divmod(s * width, 4)
-            lo = lane_shifted(q)
-            if r == 0:
-                out = lo
-            else:
+        def make_shift(A, A_down):
+            """Element-shift views of a full-height (tile_rows+8, lanes32)
+            array A, given its one-row-down view A_down.  Lane concats are
+            cached per whole-word offset q."""
+            cache = {}
+
+            def lane(q):
+                if q == 0:
+                    return A
+                if q == lanes32:
+                    return A_down
+                if q not in cache:
+                    cache[q] = jnp.concatenate(
+                        [A[:, q:], A_down[:, :q]], axis=1
+                    )
+                return cache[q]
+
+            def elem(s):
+                # view shifted by s elements = s*width bytes
+                q, r = divmod(s * width, 4)
+                lo = lane(q)
+                if r == 0:
+                    return lo
                 # crossing word boundaries: little-endian, so byte p+1 is
                 # the next-higher byte — logical right shift + next word's
                 # low bytes
-                out = jax.lax.shift_right_logical(lo, jnp.int32(8 * r)) | (
-                    lane_shifted(q + 1) << jnp.int32(32 - 8 * r)
+                return jax.lax.shift_right_logical(lo, jnp.int32(8 * r)) | (
+                    lane(q + 1) << jnp.int32(32 - 8 * r)
                 )
-            lane_cache[s] = out
-            return out
 
-        hH, hLOW, hONES = _i32c(H), _i32c(LOW), _i32c(ONES)
+            return elem
+
+        ext_shift = make_shift(ext, ext_down)
+
         acc = None
-        for k, (cs, ps) in enumerate(pairs):
-            x = elem_shifted(cs)
-            y = elem_shifted(ps)
-            # carry-free elementwise subtraction mod 2^ebits (Hacker's
-            # Delight): borrow never crosses the per-element boundary
-            sub = ((x | hH) - (y & hLOW)) ^ ((x ^ ~y) & hH)
-            esplat = expected_ref[k] * hONES
-            diff = sub ^ esplat
-            acc = diff if acc is None else acc | diff
+        for d, checks in groups.items():
+            # diff array for this bridge distance over the extended block:
+            # D[e] = data[e+d] - data[e], valid through the halo rows the
+            # check shifts below reach (each shift spans <= 1 row)
+            D = swar_sub(ext_shift(d), ext)
+            if any(ps for _, ps in checks):
+                D_shift = make_shift(
+                    D, jnp.concatenate([D[1:], D[-1:]], axis=0)
+                )
+            for k, ps in checks:
+                # v[e] = data[e+cs] - data[e+ps] with cs = ps + d
+                v = D if ps == 0 else D_shift(ps)
+                diff = v ^ expected_ref[k]  # expected pre-splatted on host
+                acc = diff if acc is None else acc | diff
         if acc is None:
-            acc = jnp.zeros(tile.shape, dtype=jnp.int32)
+            acc = jnp.zeros(ext.shape, dtype=jnp.int32)
+        acc = acc[:tile_rows]
 
         # zero-element detect: top bit of each element set iff element == 0
         t = (acc & hLOW) + hLOW
         z = ~(t | acc | hLOW)
 
-        # mask element positions past valid - length: tile-relative
-        # positions against a per-tile scalar threshold (valid split into
-        # tile index + remainder on host) — int32-safe for corpora larger
-        # than 2^31 elements
-        r_ = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
-        c_ = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
-        pos0 = (r_ * lanes32 + c_) * k_per_word
-        vt, vr = valid_ref[0], valid_ref[1]
-        tile_elems = tile_rows * lanes32 * k_per_word
-        thr = jnp.where(
-            i < vt, jnp.int32(tile_elems), jnp.where(i == vt, vr, -1)
-        )
-        top = 0x80 if width == 1 else 0x8000
-        vm = None
-        for j in range(k_per_word):
-            bit = _i32c(top << (ebits * j))
-            keep = jnp.where(pos0 + j <= thr, bit, 0)
-            vm = keep if vm is None else vm | keep
-        z = z & vm
+        def popcount_write(zz):
+            # per-word population count of matching elements (each element
+            # contributes 1 at its low bit after the shift; multiply-
+            # accumulate sums the element lanes into the top element)
+            ones = jax.lax.shift_right_logical(
+                zz, jnp.int32(ebits - 1)
+            ) & hONES
+            cnt = jax.lax.shift_right_logical(
+                ones * hONES, jnp.int32(32 - ebits)
+            )
+            out_ref[:] = jnp.broadcast_to(jnp.sum(cnt), (8, 128))
 
-        # per-word population count of matching elements (each element
-        # contributes 1 at its low bit after the shift; multiply-accumulate
-        # sums the element lanes into the top element)
-        ones = jax.lax.shift_right_logical(z, jnp.int32(ebits - 1)) & hONES
-        cnt = jax.lax.shift_right_logical(
-            ones * hONES, jnp.int32(32 - ebits)
-        )
-        out_ref[:] = jnp.broadcast_to(jnp.sum(cnt), (8, 128))
+        # validity masking runs ONLY in the tile holding the last valid
+        # window start (valid split into tile index vt + remainder vr on
+        # host — int32-safe past 2^31 elements); earlier tiles count
+        # unmasked, later tiles are all-invalid and write 0
+        vt, vr = valid_ref[0], valid_ref[1]
+        popcount_write(z)
+
+        @pl.when(i == vt)
+        def _boundary():
+            r_ = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
+            c_ = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+            pos0 = (r_ * lanes32 + c_) * k_per_word
+            top = 0x80 if width == 1 else 0x8000
+            vm = None
+            for j in range(k_per_word):
+                bit = _i32c(top << (ebits * j))
+                keep = jnp.where(pos0 + j <= vr, bit, 0)
+                vm = keep if vm is None else vm | keep
+            popcount_write(z & vm)
+
+        @pl.when(i > vt)
+        def _past():
+            out_ref[:] = jnp.zeros((8, 128), jnp.int32)
 
     raw = pl.pallas_call(
         kernel,
@@ -467,13 +524,21 @@ def tile_counts_pallas(
         mode = "swar"  # pre-packed upload implies the SWAR layout
     if mode == "swar":
         width = np.dtype(pat.dtype).itemsize
+        # expected values pre-splatted across the i32 word on host, so the
+        # kernel's per-check compare is a single scalar-broadcast xor
+        ones_pat = 0x01010101 if width == 1 else 0x00010001
+        exp_ty = prefilter_expected(pat).astype(np.uint64)
+        splat = (exp_ty * ones_pat) & 0xFFFFFFFF
+        expected_splat = jnp.asarray(
+            splat.astype(np.uint32).view(np.int32)
+        )
         if data2d.dtype == jnp.int32:
             packed2d = data2d  # pre-packed upload (swar_host_view)
         else:
             packed2d = _pack_words(data2d, width=width)
         counts = _tile_counts_swar_call(
             packed2d,
-            expected,
+            expected_splat,
             valid,
             pairs=pairs,
             length=pat.length,
