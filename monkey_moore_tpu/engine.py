@@ -160,6 +160,7 @@ class SearchEngine:
         on_progress: Optional[ProgressCallback] = None,
         abort_flag=None,
         generate_previews: bool = False,
+        distributed: bool = False,
     ) -> List[SearchResult]:
         cfg = self.config
         progress = on_progress or (lambda pct, step: None)
@@ -185,6 +186,32 @@ class SearchEngine:
         )
         log("blocks=", len(blocks), " file_size=", file_size)
 
+        # Multi-host: this process scans only window starts inside its base
+        # byte region; candidate lists are all-gathered over DCN before the
+        # (deterministic) global finalize, so every host returns the
+        # identical result list — the pod-scale analog of the reference's
+        # future harvesting + merge (``search_engine.cpp:83-102,193-197``).
+        # The file must be readable on every host (standard pod setup).
+        own_bytes = None
+        gather = None
+        if distributed:
+            from .parallel.multihost import (
+                gather_results,
+                process_count,
+                process_index,
+            )
+
+            n_proc = process_count()
+            if n_proc > 1:
+                host_base = -(-file_size // n_proc)
+                own_bytes = (
+                    min(process_index() * host_base, file_size),
+                    min((process_index() + 1) * host_base, file_size),
+                )
+                gather = gather_results
+                log("distributed: host ", process_index(), "/", n_proc,
+                    " owns bytes ", own_bytes)
+
         progress(0, SearchStep.SEARCHING)
 
         data = np.memmap(path, dtype=np.uint8, mode="r") if file_size else np.zeros(
@@ -194,11 +221,13 @@ class SearchEngine:
         with device_trace():
             if cfg.semantics is MatchSemantics.REFERENCE:
                 raw = self._scan_reference(
-                    pat, data, file_size, blocks, progress, aborted, timer
+                    pat, data, file_size, blocks, progress, aborted, timer,
+                    own_bytes=own_bytes, gather=gather,
                 )
             else:
                 raw = self._scan_dense(
-                    pat, data, file_size, blocks, progress, aborted, timer
+                    pat, data, file_size, blocks, progress, aborted, timer,
+                    own_bytes=own_bytes, gather=gather,
                 )
         if raw is None:  # aborted
             return []
@@ -230,6 +259,26 @@ class SearchEngine:
         return results
 
     # ------------------------------------------------------------------
+    def run_distributed(
+        self,
+        on_progress: Optional[ProgressCallback] = None,
+        abort_flag=None,
+        generate_previews: bool = False,
+    ) -> List[SearchResult]:
+        """Multi-host :meth:`run`: each JAX process scans its own byte range
+        on its local devices and the merged global result list is returned on
+        every host.  Call :func:`~monkey_moore_tpu.parallel.multihost.
+        initialize_distributed` first; degrades to a plain :meth:`run` when
+        ``jax.process_count() == 1``.
+
+        ``abort_flag`` must be raised on every host (the final gather is a
+        collective).
+        """
+        return self.run(
+            on_progress, abort_flag, generate_previews, distributed=True
+        )
+
+    # ------------------------------------------------------------------
     def _element_grid(self, file_size: int, align: int) -> int:
         """Valid element count of alignment grid *align* (mirrors the
         per-block ``data_count`` trim, ``search_engine.cpp:137-141``)."""
@@ -247,9 +296,15 @@ class SearchEngine:
 
     # ------------------------------------------------------------------
     def _scan_dense(self, pat, data, file_size, blocks, progress, aborted,
-                    timer):
+                    timer, own_bytes=None, gather=None):
         """Two-phase dense scan (device tile counts + host hot-tile
-        extraction) with per-(block, alignment) greedy suppression."""
+        extraction) with per-(block, alignment) greedy suppression.
+
+        ``own_bytes``: optional (lo, hi) byte interval — only window starts
+        inside it are kept, and chunks with no owned starts are skipped
+        (multi-host partitioning).  ``gather``: optional collective applied
+        to the flat candidate arrays before the global finalize.
+        """
         from .dense import (
             TILE_ELEMS,
             extract_hot_tiles,
@@ -307,8 +362,21 @@ class SearchEngine:
         for k in range(n_chunks):
             if aborted():
                 return None
-            timer.stats.chunks += 1
             e0 = k * chunk_elems
+            if own_bytes is not None:
+                # starts owned by chunk k lie in bytes
+                # [e0*s, (e0 + chunk_elems)*s + s); skip chunks that cannot
+                # contain an owned start (other hosts cover them)
+                if (e0 + chunk_elems) * s + s <= own_bytes[0] or (
+                    e0 * s >= own_bytes[1]
+                ):
+                    bytes_done = min(file_size, (e0 + chunk_elems) * s)
+                    if not tracker.advance_to(
+                        bytes_done, final=(k == n_chunks - 1)
+                    ):
+                        return None
+                    continue
+            timer.stats.chunks += 1
             for a in range(s):
                 n_a = self._element_grid(file_size, a)
                 if e0 >= n_a:
@@ -385,6 +453,10 @@ class SearchEngine:
                     for off, val in zip(offs.tolist(), vals.tolist()):
                         e_global = e0 + off
                         byte_off = a + e_global * s
+                        if own_bytes is not None and not (
+                            own_bytes[0] <= byte_off < own_bytes[1]
+                        ):
+                            continue
                         block_id = byte_off // base
                         per_group.setdefault((block_id, a), []).append(e_global)
                         candidate_info[(a, e_global)] = (byte_off, val)
@@ -396,23 +468,48 @@ class SearchEngine:
         if not tracker.finish():
             return None
 
+        if gather is not None:
+            # all-gather flat candidates, then rebuild the suppression groups
+            # — finalize below is deterministic, so every host produces the
+            # identical global result list
+            per_group, candidate_info = _gathered_groups(
+                gather, candidate_info, s, base, timer
+            )
+
         return finalize_candidates(
             pat, cfg.semantics, s, base, file_size, per_group, candidate_info
         )
 
     # ------------------------------------------------------------------
     def _scan_reference(self, pat, data, file_size, blocks, progress, aborted,
-                        timer):
+                        timer, own_bytes=None, gather=None):
         """Exact reference semantics: sequential walk per (block, alignment),
-        mirroring the worker lambda (``search_engine.cpp:107-168``)."""
+        mirroring the worker lambda (``search_engine.cpp:107-168``).
+
+        Multi-host: a block is walked by the host whose ``own_bytes`` region
+        contains its start (blocks are the reference's independent work
+        units); per-host (offset, recovery values) lists are all-gathered
+        and every host rebuilds the identical equivalency maps.
+        """
+        from .ops.recover import recovery_shifts
+
         cfg = self.config
         s = cfg.element_width
         results = []
+        flat_offs: list = []
+        flat_vals: list = []
+        shifts = recovery_shifts(pat)
         tracker = _BlockProgress(len(blocks), cfg.preferred_search_block_size,
                                  progress, aborted)
         for offset, size in blocks:
             if aborted():
                 return None
+            if own_bytes is not None and not (
+                own_bytes[0] <= offset < own_bytes[1]
+            ):
+                if not tracker.step():
+                    return None
+                continue
             raw = data[offset : offset + size]
             for a in range(s):
                 count = max(0, (size - a) // s)
@@ -423,11 +520,53 @@ class SearchEngine:
                 with timer.stage("reference_walk"):
                     walked = reference_walk(pat, arr)
                 for pos, vmap in walked:
-                    results.append((offset + pos * s + a, vmap))
+                    byte_off = offset + pos * s + a
+                    if gather is not None:
+                        # ship the numeric recovery values (the same ones
+                        # the walker derived vmap from, ``oracle._emit``)
+                        v0 = int(arr[pos + shifts[0]])
+                        v1 = (
+                            int(arr[pos + shifts[1]])
+                            if len(shifts) > 1
+                            else v0
+                        )
+                        flat_offs.append(byte_off)
+                        flat_vals.append((v0, v1))
+                    else:
+                        results.append((byte_off, vmap))
                 timer.stats.bytes_scanned += count * s
             if not tracker.step():
                 return None
+        if gather is not None:
+            offs = np.array(flat_offs, dtype=np.int64)
+            vals = np.array(flat_vals, dtype=np.int64).reshape(-1, 2)
+            with timer.stage("gather"):
+                offs, vals = gather(offs, vals)
+            results = [
+                (int(o), recover_from_values(pat, v))
+                for o, v in zip(offs.tolist(), vals.tolist())
+            ]
         return results
+
+
+def _gathered_groups(gather, candidate_info, s, base, timer):
+    """Flatten local candidates → collective gather → rebuild the
+    per-(block, alignment) suppression groups from global byte offsets."""
+    items = sorted(candidate_info.items())
+    offs = np.array([v[0] for _, v in items], dtype=np.int64)
+    vals = np.array(
+        [list(v[1]) for _, v in items], dtype=np.int64
+    ).reshape(-1, 2)
+    with timer.stage("gather"):
+        offs, vals = gather(offs, vals)
+    per_group: dict = {}
+    info: dict = {}
+    for byte_off, val in zip(offs.tolist(), vals.tolist()):
+        a = byte_off % s
+        e_global = (byte_off - a) // s
+        per_group.setdefault((byte_off // base, a), []).append(e_global)
+        info[(a, e_global)] = (byte_off, val)
+    return per_group, info
 
 
 class _BlockProgress:
