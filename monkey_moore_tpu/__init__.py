@@ -26,8 +26,9 @@ from .config import (
 )
 from .pattern import CompiledPattern, PatternError, SearchMode, compile_pattern
 from .oracle import OracleSearcher, oracle_search
+from .async_search import AsyncSearch, SearchEvent
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Endianness",
@@ -41,5 +42,7 @@ __all__ = [
     "compile_pattern",
     "OracleSearcher",
     "oracle_search",
+    "AsyncSearch",
+    "SearchEvent",
     "__version__",
 ]

@@ -129,6 +129,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="run the scan benchmark")
 
+    r = sub.add_parser(
+        "repl",
+        help="interactive session: resident corpus + compiled executables "
+             "persist across searches",
+    )
+    r.add_argument("file", nargs="?", help="file to open on startup")
+    r.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (no TPU)")
+
     return ap
 
 
@@ -163,7 +172,9 @@ def _progress_printer(enabled: bool):
     return cb
 
 
-def _print_results(results, cfg: SearchConfig, args) -> None:
+def _print_results(results, cfg: SearchConfig, args, out=None, err=None) -> None:
+    out = out or sys.stdout
+    err = err if err is not None else sys.stderr
     width = cfg.element_width
     digits = width * 2
     seen_maps = []
@@ -185,9 +196,9 @@ def _print_results(results, cfg: SearchConfig, args) -> None:
         line = f"{off}\t{' '.join(parts)}"
         if r.preview:
             line += f"\t{r.preview}"
-        print(line)
+        print(line, file=out)
         shown += 1
-    print(f"{shown} {_('result(s)')}", file=sys.stderr)
+    print(f"{shown} {_('result(s)')}", file=err)
 
 
 def _run_search(args, cfg: SearchConfig):
@@ -334,6 +345,11 @@ def main(argv=None) -> int:
         runpy.run_path(str(Path(__file__).resolve().parent.parent / "bench.py"),
                        run_name="__main__")
         return 0
+
+    if args.command == "repl":
+        from .repl import repl_main
+
+        return repl_main(args.file, cpu=args.cpu)
 
     return 2
 

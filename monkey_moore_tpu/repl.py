@@ -1,0 +1,368 @@
+"""Interactive REPL (layer L5) — the framework's interactive frontend.
+
+The reference is an interactive tool: type a keyword, see results, repeat
+(``src/gui/monkey_frame.cpp:483-572`` search kickoff, ``:1214-1282`` result
+display).  This REPL is its headless twin, built on the machinery designed
+for exactly this workflow:
+
+- the **resident corpus** (``corpus.py``) keeps the file in device HBM
+  across searches — repeat searches pay no upload;
+- compiled executables are cached process-wide (jit caches + the persistent
+  compilation cache), so the second search of a session dispatches
+  immediately;
+- multiple keywords on one line share a single device dispatch per chunk
+  (``multi.MultiSearcher``);
+- single-keyword searches run through :class:`~monkey_moore_tpu.
+  async_search.AsyncSearch` — Ctrl-C aborts the engine exactly like the
+  GUI's abort button (``search_thread.hpp:48-50``).
+
+Usage::
+
+    python -m monkey_moore_tpu repl ROM.bin
+    mm> search monkey
+    mm> search MONKEY BANANA b*tter
+    mm> value 60 61 62 63
+    mm> set width 16
+    mm> export 0 out.tbl
+    mm> help
+"""
+
+from __future__ import annotations
+
+import shlex
+import sys
+import time
+from pathlib import Path
+from types import SimpleNamespace
+from typing import List, Optional
+
+from .config import Endianness, MatchSemantics, SearchConfig, SearchResult
+from .i18n import _
+from .sequences import SequenceStore
+from .tables import build_table_data, save_tbl
+from .validate import ValidationError, check_keyword, parse_value_scan
+
+__all__ = ["Repl", "repl_main"]
+
+_HELP = """\
+commands:
+  open FILE               load a file (uploads to device HBM on first search)
+  search KW [KW ...]      relative search; several keywords share one dispatch
+  value V1 V2 ...         value scan (non-negative decimals)
+  export IDX OUT.tbl      export match IDX of the last search as a Thingy table
+  set OPT VALUE           width 8|16, endian little|big, semantics
+                          greedy|all|reference, wildcard CHAR, seq NAME|CHARS,
+                          previews on|off, dedup on|off, offsets hex|dec
+  show                    current settings
+  seq list | seq show N   named character sequences
+  stats                   per-stage timings of the last search
+  help                    this text
+  quit / exit             leave\
+"""
+
+
+class Repl:
+    """Stateful interactive session; one instance per REPL.
+
+    ``execute(line)`` runs one command and returns False when the session
+    should end — directly testable without a terminal.
+    """
+
+    def __init__(self, out=None):
+        self.out = out or sys.stdout
+        self.file: Optional[Path] = None
+        self.width = 1
+        self.endian = Endianness.LITTLE
+        self.semantics = MatchSemantics.GREEDY
+        self.wildcard = "*"
+        self.seq = ""
+        self.previews = True
+        self.dedup = False
+        self.offsets = "hex"
+        self.preview_width = 50
+        self.block_size = 524288
+        self.chunk_bytes = 64 * 1024 * 1024
+        self.last_results: List[SearchResult] = []
+        self._searcher = None  # MultiSearcher, rebuilt when settings change
+
+    # ------------------------------------------------------------------
+    def _say(self, *parts) -> None:
+        print(*parts, file=self.out)
+
+    def _config(self, keyword="", values=()) -> SearchConfig:
+        return SearchConfig(
+            file_path=self.file,
+            is_relative_search=not values,
+            keyword=keyword,
+            wildcard=self.wildcard,
+            custom_char_seq=self.seq,
+            reference_values=list(values),
+            element_width=self.width,
+            endianness=self.endian,
+            preferred_search_block_size=self.block_size,
+            device_chunk_bytes=self.chunk_bytes,
+            preferred_preview_width=self.preview_width,
+            semantics=self.semantics,
+        )
+
+    def _multi_searcher(self):
+        from .multi import MultiSearcher
+
+        if self._searcher is None:
+            self._searcher = MultiSearcher(
+                self.file,
+                element_width=self.width,
+                endianness=self.endian,
+                preferred_search_block_size=self.block_size,
+                device_chunk_bytes=self.chunk_bytes,
+                preferred_preview_width=self.preview_width,
+                semantics=self.semantics,
+            )
+        return self._searcher
+
+    def _invalidate(self) -> None:
+        self._searcher = None
+
+    # ------------------------------------------------------------------
+    def execute(self, line: str) -> bool:
+        """Run one command line; returns False to end the session."""
+        try:
+            argv = shlex.split(line)
+        except ValueError as e:
+            self._say(f"error: {e}")
+            return True
+        if not argv:
+            return True
+        cmd, args = argv[0].lower(), argv[1:]
+        handler = getattr(self, f"_cmd_{cmd}", None)
+        if cmd in ("quit", "exit"):
+            return False
+        if handler is None:
+            self._say(f"unknown command: {cmd} (try 'help')")
+            return True
+        try:
+            handler(args)
+        except FileNotFoundError:
+            self._say(f"error: unable to open {self.file}: file not found.")
+        except (ValidationError, ValueError) as e:
+            self._say(f"error: {e}")
+        return True
+
+    # ------------------------------------------------------------------
+    def _cmd_help(self, args) -> None:
+        self._say(_HELP)
+
+    def _cmd_open(self, args) -> None:
+        if not args:
+            self._say("usage: open FILE")
+            return
+        path = Path(args[0])
+        if not path.exists():
+            self._say(f"error: unable to open {path}: file not found.")
+            return
+        self.file = path
+        self.last_results = []
+        self._invalidate()
+        self._say(f"opened {path} ({path.stat().st_size} bytes)")
+
+    def _require_file(self) -> bool:
+        if self.file is None:
+            self._say("no file open (use: open FILE)")
+            return False
+        return True
+
+    def _cmd_search(self, args) -> None:
+        if not args:
+            self._say("usage: search KEYWORD [KEYWORD ...]")
+            return
+        if not self._require_file():
+            return
+        specs = []
+        for kw in args:
+            warning = check_keyword(kw, self.wildcard or None, self.seq)
+            if warning is not None:
+                self._say(f"error: {kw!r}: {_(warning.value)}")
+                return
+            specs.append(
+                {"keyword": kw, "wildcard": self.wildcard,
+                 "char_seq": self.seq}
+            )
+        t0 = time.time()
+        if len(specs) == 1:
+            results = self._search_single(specs[0])
+            if results is None:
+                return
+            groups = [results]
+        else:
+            groups = self._multi_searcher().search(
+                specs, generate_previews=self.previews
+            )
+        elapsed = time.time() - t0
+        flat: List[SearchResult] = []
+        for kw, results in zip(args, groups):
+            if len(groups) > 1:
+                self._say(f"# {kw}")
+            self._print_results(results)
+            flat.extend(results)
+        self.last_results = flat
+        self._say(f"elapsed: {elapsed:.2f}s")
+
+    def _search_single(self, spec) -> Optional[List[SearchResult]]:
+        """One keyword through the async facade; Ctrl-C aborts the engine
+        (the GUI abort button, ``search_thread.hpp:48-50``)."""
+        from .async_search import AsyncSearch, SearchEvent
+
+        cfg = self._config(keyword=spec["keyword"])
+        search = AsyncSearch(
+            cfg, generate_previews=self.previews
+        ).start()
+        try:
+            while not search.join(timeout=0.1):
+                pass
+        except KeyboardInterrupt:
+            search.abort()
+            search.join()
+            self._say("\n" + _("aborted"))
+            return None
+        if search.outcome is SearchEvent.FAILED:
+            self._say(f"error: {search.error}")
+            return None
+        return search.results
+
+    def _cmd_value(self, args) -> None:
+        if not args:
+            self._say("usage: value V1 V2 ...")
+            return
+        if not self._require_file():
+            return
+        values = parse_value_scan(" ".join(args))
+        from .engine import SearchEngine
+
+        t0 = time.time()
+        engine = SearchEngine(self._config(values=values))
+        results = engine.run(generate_previews=self.previews)
+        self._print_results(results)
+        self.last_results = results
+        self._say(f"elapsed: {time.time() - t0:.2f}s")
+
+    def _cmd_export(self, args) -> None:
+        if len(args) < 2:
+            self._say("usage: export INDEX OUTPUT.tbl [encoding]")
+            return
+        idx = int(args[0])
+        if not (0 <= idx < len(self.last_results)):
+            hi = len(self.last_results) - 1
+            self._say(f"error: match index out of range (0..{hi})")
+            return
+        encoding = args[2] if len(args) > 2 else "utf-8"
+        table = build_table_data(
+            self.last_results[idx].values_map, self.width, self.endian
+        )
+        save_tbl(args[1], table, encoding)
+        self._say(f"table with {len(table)} entries saved to {args[1]}")
+
+    def _cmd_set(self, args) -> None:
+        if len(args) < 2:
+            self._say("usage: set OPTION VALUE")
+            return
+        opt, val = args[0].lower(), " ".join(args[1:])
+        on = val.lower() in ("on", "true", "1", "yes")
+        if opt == "width":
+            if val not in ("8", "16"):
+                self._say("width must be 8 or 16 (bits)")
+                return
+            self.width = int(val) // 8
+            self._invalidate()
+        elif opt == "endian":
+            self.endian = (
+                Endianness.BIG if val.lower() == "big" else Endianness.LITTLE
+            )
+            self._invalidate()
+        elif opt == "semantics":
+            self.semantics = MatchSemantics(val.lower())
+            self._invalidate()
+        elif opt == "wildcard":
+            self.wildcard = val[:1]
+        elif opt == "seq":
+            store = SequenceStore()
+            match = next(
+                (n for n in store.names() if val.lower() in n.lower()), None
+            )
+            self.seq = store.get(match) if match else val
+        elif opt == "previews":
+            self.previews = on
+        elif opt == "dedup":
+            self.dedup = on
+        elif opt == "offsets":
+            if val not in ("hex", "dec"):
+                self._say("offsets must be hex or dec")
+                return
+            self.offsets = val
+        else:
+            self._say(f"unknown option: {opt}")
+            return
+        self._cmd_show(())
+
+    def _cmd_show(self, args) -> None:
+        self._say(
+            f"file={self.file}  width={self.width * 8}  "
+            f"endian={self.endian.value}  semantics={self.semantics.value}  "
+            f"wildcard={self.wildcard!r}  seq={self.seq!r}  "
+            f"previews={'on' if self.previews else 'off'}  "
+            f"dedup={'on' if self.dedup else 'off'}  offsets={self.offsets}"
+        )
+
+    def _cmd_seq(self, args) -> None:
+        store = SequenceStore()
+        if not args or args[0] == "list":
+            for name in store.names():
+                self._say(name)
+        elif args[0] == "show" and len(args) > 1:
+            self._say(store.get(args[1]))
+        else:
+            self._say("usage: seq list | seq show NAME")
+
+    def _cmd_stats(self, args) -> None:
+        from .corpus import _cache as corpus_cache
+
+        if corpus_cache:
+            corpus = next(iter(corpus_cache.values()))
+            self._say(f"resident corpus: {corpus.n_bytes} bytes in HBM")
+        else:
+            self._say("no resident corpus yet (first search uploads)")
+
+    # ------------------------------------------------------------------
+    def _print_results(self, results: List[SearchResult]) -> None:
+        from .cli import _print_results
+
+        cfg = self._config()
+        args = SimpleNamespace(dedup=self.dedup, offsets=self.offsets)
+        # cli prints the count line to stderr; the REPL owns its stream
+        _print_results(results, cfg, args, out=self.out, err=self.out)
+
+
+def repl_main(file: Optional[str] = None, cpu: bool = False) -> int:
+    """Interactive loop (the CLI ``repl`` subcommand)."""
+    if cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        import readline  # noqa: F401 — line editing + history
+    except ImportError:
+        pass
+    repl = Repl()
+    if file:
+        repl.execute(f"open {shlex.quote(file)}")
+    print("monkey-moore TPU interactive session ('help' for commands)")
+    while True:
+        try:
+            line = input("mm> ")
+        except EOFError:
+            print()
+            return 0
+        except KeyboardInterrupt:
+            print()
+            continue
+        if not repl.execute(line):
+            return 0
