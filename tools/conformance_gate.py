@@ -1,15 +1,23 @@
 #!/usr/bin/env python
 """Conformance gate: engine/kernels vs the exact reference oracle.
 
-Runs randomized corpora through every mode × width × endianness × semantics
-combination and reports a pass rate (BASELINE.json's conformance metric).
-The GREEDY path must equal the oracle on non-pathological corpora; the ALL
-path must be a superset; REFERENCE must be identical always.
+Runs randomized corpora through every mode the framework supports —
+plain lowercase, **mixed-case** (auto-wildcard + independent case shifts),
+interior **wildcards**, **custom character sequences** (including keyword
+chars missing from the sequence, the ``std::map::operator[]``
+default-insert quirk), **value-scan**, and **degenerate leading-wildcard
+patterns** — crossed with width × endianness (including odd 16-bit file
+tails) × semantics, and reports a pass rate (BASELINE.json's conformance
+metric).  The GREEDY path must equal the oracle on non-pathological
+corpora; the ALL path must be a superset; REFERENCE must be identical
+always; degenerate patterns must raise ``ValueError`` everywhere the
+oracle does.
 
-Usage: python tools/conformance_gate.py [--trials 40] [--seed 7] [--cpu]
+Usage: python tools/conformance_gate.py [--trials 120] [--seed 7] [--cpu]
 """
 
 import argparse
+import string
 import sys
 import tempfile
 from pathlib import Path
@@ -19,10 +27,71 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+MODES = ("plain", "mixed", "wildcard", "seq", "valuescan", "degenerate")
+MODE_WEIGHTS = (0.20, 0.15, 0.20, 0.20, 0.15, 0.10)
+
+
+def _gen_trial(rng, mod):
+    """One randomized (mode, keyword/values, char_seq, wildcard) draw."""
+    mode = rng.choice(MODES, p=MODE_WEIGHTS)
+    lower = list(string.ascii_lowercase)
+    seq = ""
+    values = ()
+    wildcard = 0
+    if mode == "plain":
+        kw_len = int(rng.integers(3, 9))
+        kw = "".join(rng.choice(lower, kw_len))
+        if rng.random() < 0.2:  # periodic patterns stress the skip table
+            kw = (kw[:2] * 4)[:kw_len]
+    elif mode == "mixed":
+        kw_len = int(rng.integers(3, 9))
+        kw = "".join(
+            c.upper() if rng.random() < 0.5 else c
+            for c in rng.choice(lower, kw_len)
+        )
+        # mixed case needs >= 1 of each to exercise opposing shifts
+        if kw.islower() or kw.isupper():
+            kw = kw[0].swapcase() + kw[1:]
+    elif mode == "wildcard":
+        kw_len = int(rng.integers(4, 9))
+        chars = list(rng.choice(lower, kw_len))
+        for i in range(1, kw_len - 1):
+            if rng.random() < 0.3:
+                chars[i] = "*"
+        kw = "".join(chars)
+        wildcard = "*"
+    elif mode == "seq":
+        pool = list(string.ascii_lowercase + string.digits + "!?._-")
+        seq_len = int(rng.integers(5, 21))
+        seq = "".join(
+            rng.choice(pool, size=seq_len, replace=False).tolist()
+        )
+        kw_len = int(rng.integers(3, 9))
+        kw = "".join(rng.choice(list(seq), kw_len))
+        if rng.random() < 0.25:
+            # a keyword char absent from the sequence: the reference's
+            # std::map::operator[] default-inserts index 0 for it
+            missing = next(c for c in pool if c not in seq)
+            pos = int(rng.integers(0, kw_len))
+            kw = kw[:pos] + missing + kw[pos + 1 :]
+        if rng.random() < 0.4:
+            wildcard = "*"
+            pos = int(rng.integers(1, max(2, kw_len - 1)))
+            kw = kw[:pos] + "*" + kw[pos + 1 :]
+    elif mode == "valuescan":
+        v_len = int(rng.integers(3, 9))
+        values = tuple(int(v) for v in rng.integers(0, mod, v_len))
+        kw = ""
+    else:  # degenerate: all literals inside the leading-wildcard span
+        wildcard = "*"
+        core = "".join(rng.choice(lower, int(rng.integers(1, 3))))
+        kw = "*" * (len(core) + int(rng.integers(0, 2))) + core
+    return mode, kw, seq, values, wildcard
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--trials", type=int, default=40)
+    ap.add_argument("--trials", type=int, default=120)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -43,9 +112,9 @@ def main():
     from monkey_moore_tpu.preview import decode_elements
 
     rng = np.random.default_rng(args.seed)
-    letters = np.arange(97, 123)
     passed = failed = known_divergence = 0
     failures = []
+    mode_counts: dict = {}
 
     def _is_true_match(pat, raw_bytes, byte_off, width, endian):
         """Exact signed/masked match predicate at a byte offset."""
@@ -66,36 +135,98 @@ def main():
             mod = 256 if width == 1 else 65536
             n = int(rng.integers(200, 20000))
             data = rng.integers(0, mod, n)
-            kw_len = int(rng.integers(3, 8))
-            kw = rng.choice(letters, kw_len).tolist()
-            use_wc = rng.random() < 0.4
-            if use_wc:
-                for i in range(1, kw_len - 1):
-                    if rng.random() < 0.3:
-                        kw[i] = ord("*")
-            keyword = "".join(chr(c) for c in kw)
-            for _ in range(int(rng.integers(0, 5))):
-                pos = int(rng.integers(0, max(1, n - kw_len)))
-                data[pos : pos + kw_len] = (
-                    np.array(kw) + int(rng.integers(-30, 30))
-                ) % mod
-
+            mode, keyword, seq, values, wildcard = _gen_trial(rng, mod)
+            mode_counts[mode] = mode_counts.get(mode, 0) + 1
             dtype = np.uint8 if width == 1 else np.uint16
-            elems = data.astype(dtype)
+
+            # compile first so planting can use the pattern's own tables
+            try:
+                if values:
+                    pat = compile_pattern(
+                        reference_values=list(values), dtype=dtype
+                    )
+                else:
+                    pat = compile_pattern(
+                        keyword, wildcard, char_seq=seq, dtype=dtype
+                    )
+            except ValueError:
+                # library rejects at compile time; the engine must too
+                cfg = SearchConfig(
+                    file_path=Path(td) / "none.bin", keyword=keyword,
+                    wildcard=wildcard, custom_char_seq=seq,
+                    element_width=width,
+                )
+                (Path(td) / "none.bin").write_bytes(b"\0" * 64)
+                try:
+                    SearchEngine(cfg).run()
+                    failed += 1
+                    failures.append((t, mode, keyword, "no-raise-compile"))
+                except ValueError:
+                    passed += 1
+                continue
+
+            # plant approximate matches (shifted encodings; random case
+            # shifts for mixed-case, table indices for custom sequences)
+            k_len = pat.length
+            for _ in range(int(rng.integers(0, 5))):
+                pos = int(rng.integers(0, max(1, n - k_len)))
+                shift = int(rng.integers(-30, 30))
+                if values:
+                    data[pos : pos + k_len] = np.array(values)
+                elif seq:
+                    enc = [
+                        (pat.char_index.get(c, 0) + shift) % mod
+                        for c in keyword
+                    ]
+                    data[pos : pos + k_len] = enc
+                elif mode == "mixed":
+                    shift2 = (
+                        shift if rng.random() < 0.5
+                        else int(rng.integers(-30, 30))
+                    )
+                    enc = [
+                        (ord(c) + (shift if c.islower() else shift2)) % mod
+                        for c in keyword
+                    ]
+                    data[pos : pos + k_len] = enc
+                else:
+                    enc = [(ord(c) + shift) % mod for c in keyword]
+                    data[pos : pos + k_len] = enc
+
             path = Path(td) / f"c{t}.bin"
             order = "<u2" if endian is Endianness.LITTLE else ">u2"
-            path.write_bytes(
-                elems.astype(order).tobytes() if width == 2 else elems.tobytes()
+            blob = (
+                data.astype(dtype).astype(order).tobytes()
+                if width == 2
+                else data.astype(dtype).tobytes()
             )
+            if width == 2 and rng.random() < 0.3:
+                blob += bytes([int(rng.integers(0, 256))])  # odd tail
+            path.write_bytes(blob)
             block = int(rng.choice([64, 256, 1024, 524288]))
             chunk = int(rng.choice([4096, 65536, 1 << 20]))
 
+            def mk_cfg(semantics):
+                return SearchConfig(
+                    file_path=path,
+                    is_relative_search=not values,
+                    keyword=keyword,
+                    wildcard=wildcard,
+                    custom_char_seq=seq,
+                    reference_values=list(values),
+                    element_width=width,
+                    endianness=endian,
+                    preferred_search_block_size=block,
+                    device_chunk_bytes=chunk,
+                    semantics=semantics,
+                )
+
             # expected: oracle per logical block per alignment (exact
-            # reference behavior)
-            pat = compile_pattern(keyword, "*" if use_wc else 0, dtype=dtype)
+            # reference behavior); degenerate patterns raise here
             file_size = path.stat().st_size
             raw = np.fromfile(path, dtype=np.uint8)
             expected = []
+            degenerate = False
             for off, size in compute_search_blocks(
                 file_size, pat.length, width, block
             ):
@@ -105,26 +236,36 @@ def main():
                     arr = decode_elements(
                         blk[a : a + cnt * width].tobytes(), width, endian
                     )
-                    for pos, _ in oracle_search(pat, arr):
+                    try:
+                        walked = oracle_search(pat, arr)
+                    except ValueError:
+                        degenerate = True
+                        break
+                    for pos, _ in walked:
                         expected.append(off + pos * width + a)
+                if degenerate:
+                    break
             expected.sort()
+
+            if degenerate:
+                # the oracle refuses (advance <= 0 would not terminate in
+                # the reference); REFERENCE semantics must raise identically
+                try:
+                    SearchEngine(mk_cfg(MatchSemantics.REFERENCE)).run()
+                    failed += 1
+                    failures.append((t, mode, keyword, "no-raise-run"))
+                except ValueError:
+                    passed += 1
+                continue
 
             for semantics in (
                 MatchSemantics.GREEDY,
                 MatchSemantics.REFERENCE,
                 MatchSemantics.ALL,
             ):
-                cfg = SearchConfig(
-                    file_path=path,
-                    keyword=keyword,
-                    wildcard="*" if use_wc else 0,
-                    element_width=width,
-                    endianness=endian,
-                    preferred_search_block_size=block,
-                    device_chunk_bytes=chunk,
-                    semantics=semantics,
-                )
-                got = [r.offset for r in SearchEngine(cfg).run()]
+                got = [
+                    r.offset for r in SearchEngine(mk_cfg(semantics)).run()
+                ]
                 if semantics is MatchSemantics.ALL:
                     ok = set(expected) <= set(got)
                 else:
@@ -146,15 +287,18 @@ def main():
                 else:
                     failed += 1
                     failures.append(
-                        (t, keyword, width, endian.value, block, chunk,
-                         semantics.value, expected[:5], got[:5])
+                        (t, mode, keyword or values, width, endian.value,
+                         block, chunk, semantics.value, expected[:5],
+                         got[:5])
                     )
 
     total = passed + failed + known_divergence
+    modes_str = " ".join(f"{m}={c}" for m, c in sorted(mode_counts.items()))
     print(f"conformance: {passed}/{total} passed "
           f"({100.0 * passed / max(1, total):.2f}%), "
           f"{known_divergence} known-divergence "
-          f"(reference skip-overshoot missed a true match; GREEDY reports it)")
+          f"(reference skip-overshoot missed a true match; GREEDY reports "
+          f"it) [{modes_str}]")
     for f in failures[:10]:
         print("FAIL:", f)
     return 1 if failed else 0
