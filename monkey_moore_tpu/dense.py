@@ -105,7 +105,12 @@ def tile_counts(
     ):
         from .ops.scan_pallas import tile_counts_pallas
 
-        if arr_device.dtype == np.int32 and np.dtype(pat.dtype) != np.int32:
+        if getattr(arr_device, "ndim", 1) == 2:
+            # already in the kernel's 2-D layout (large resident corpora
+            # are allocated this way — an eager flat->2D reshape would
+            # materialize a second corpus-sized buffer)
+            data2d = arr_device
+        elif arr_device.dtype == np.int32 and np.dtype(pat.dtype) != np.int32:
             # pre-packed SWAR upload (swar_host_view): one i32 word holds
             # 4 bytes, rows stay LANES elements wide
             lanes32 = LANES * np.dtype(pat.dtype).itemsize // 4
@@ -237,7 +242,20 @@ def extract_hot_tiles_device(
     total = (
         arr_device.size * elems_per_word if packed else arr_device.size
     )
-    flat = arr_device.reshape(-1)
+    # 2-D corpora are sliced by row (an eager device flatten would copy);
+    # 1-D arrays are fetched by direct index range
+    two_d = getattr(arr_device, "ndim", 1) == 2
+    flat = arr_device if two_d else arr_device.reshape(-1)
+
+    def fetch(w0, w1):
+        """Host copy of storage units [w0, w1) of the device array."""
+        if not two_d:
+            return np.asarray(flat[w0:w1])
+        per_row = arr_device.shape[1]
+        r0, r1 = w0 // per_row, -(-w1 // per_row)
+        rows = np.asarray(arr_device[r0:r1]).reshape(-1)
+        return rows[w0 - r0 * per_row : w1 - r0 * per_row]
+
     shifts = recovery_shifts(pat)
     hot = np.nonzero(counts)[0]
     all_offsets = []
@@ -247,10 +265,10 @@ def extract_hot_tiles_device(
         s1 = min(total, s0 + tile_elems + L - 1)
         if packed:
             w0, w1 = s0 // elems_per_word, -(-s1 // elems_per_word)
-            sl = np.asarray(flat[w0:w1]).view(pat.dtype)
+            sl = fetch(w0, w1).view(pat.dtype)
             sl = sl[s0 - w0 * elems_per_word :][: s1 - s0]
         else:
-            sl = np.asarray(flat[s0:s1])
+            sl = fetch(s0, s1)
         # trim device padding past the valid element count
         sl = sl[: max(0, valid_count - s0)]
         pos = match_positions_np(pat, sl)

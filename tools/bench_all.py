@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--mb", type=int, default=512)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--no-sweep", action="store_true",
+                    help="skip the 128 KiB..16 MiB buffer-size ladder")
     args = ap.parse_args()
 
     import jax
@@ -97,11 +99,47 @@ def main():
         print(f"{name:<45} {bps / 1e9:8.2f} GB/s  vs ref {sp}", flush=True)
         del dev
 
+    # Buffer-size ladder (the reference's Range(128<<10, 16<<20) with
+    # RangeMultiplier(4), ``benchmarks/bench_search.cpp:70``) — exposes the
+    # fixed per-dispatch overhead knee: small buffers are dispatch-bound,
+    # large buffers approach the kernel's HBM-bound rate.
+    sweep = {}
+    if not args.no_sweep:
+        pat = compile_pattern("abcde")
+        print()
+        for size in [128 << 10 << (2 * i) for i in range(4)] + [16 << 20]:
+            n = size
+            arr = np.zeros(
+                (-(-n // TILE_ELEMS) + 1) * TILE_ELEMS, dtype=np.uint8
+            )
+            arr[:n] = raw[:n]
+            dev = jax.device_put(jnp.asarray(arr))
+            jax.block_until_ready(dev)
+
+            def sstep():
+                counts = tile_counts(pat, dev, n)
+                if counts.any():
+                    extract_hot_tiles(pat, arr[:n], counts)
+
+            sstep()
+            for _ in range(args.warmup):
+                sstep()
+            best = float("inf")
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                sstep()
+                best = min(best, time.perf_counter() - t0)
+            sweep[str(size)] = n / best
+            print(f"sweep {size >> 10:>6} KiB {n / best / 1e9:8.2f} GB/s",
+                  flush=True)
+            del dev
+
     out = REPO / "BENCH_DETAIL.json"
     out.write_text(json.dumps({
         "data_mb": args.mb,
         "device": str(jax.devices()[0]),
         "suites": results,
+        "buffer_size_sweep_8bit": sweep,
     }, indent=2))
     print(f"\nwritten: {out}")
 
