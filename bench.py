@@ -5,15 +5,19 @@ Mirrors the reference's benchmark setup (``benchmarks/bench_search.cpp:29,67``:
 random data, 5-char keyword "abcde", bytes/s) on device-resident data — the
 interactive ROM-exploration workload where the corpus is loaded to HBM once
 and searched repeatedly.  The corpus is generated directly in HBM (threefry,
-seed 42) and kept resident in the scan kernel's packed SWAR layout; each
-timed step runs the full production path — device tile-count prefilter plus
-exact host extraction of any hot tiles (fetched device→host on demand).
+seed per chunk) in the scan kernel's packed SWAR 2-D layout; each timed step
+runs the full production path — device tile-count prefilter plus exact host
+extraction of any hot tiles (fetched device→host on demand).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "bytes/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "bytes/s", "vs_baseline": N,
+     "pct_hbm_roofline": N}
 
 ``vs_baseline`` compares against the reference C++ core measured on this
-host (BASELINE_MEASURED.json; single-thread, its own benchmark's setup).
+host (BASELINE_MEASURED.json, reproducible via ``tools/refbench/run.py``;
+single-thread, the reference benchmark's own setup).  ``pct_hbm_roofline``
+is the end-to-end rate as a percentage of the chip's HBM read bandwidth —
+the speed-of-light for a scan that must touch every byte (docs/PERF.md).
 """
 
 import functools
@@ -28,9 +32,23 @@ import numpy as np
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-DATA_MB = int(os.environ.get("MMTPU_BENCH_MB", "4096"))
+DATA_MB = int(os.environ.get("MMTPU_BENCH_MB", "8192"))
 WARMUP = int(os.environ.get("MMTPU_BENCH_WARMUP", "3"))
 ITERS = int(os.environ.get("MMTPU_BENCH_ITERS", "15"))
+# 64 KiB count tiles: the kernel auto-groups 32 of them per 2 MiB dispatch
+# block (full kernel rate) while any hot-tile extraction fetches only
+# 64 KiB + L - 1 bytes device->host
+TILE_ROWS = int(os.environ.get("MMTPU_BENCH_TILE_ROWS", "64"))
+
+#: HBM read bandwidth by device kind, GB/s (v5e: 16 GiB HBM2E @ ~819 GB/s;
+#: v4: 32 GiB @ ~1228 GB/s; v5p ~2765; v6e ~1640).
+HBM_GBPS = {
+    "TPU v5 lite": 819.0,
+    "TPU v5litepod": 819.0,
+    "TPU v4": 1228.0,
+    "TPU v5p": 2765.0,
+    "TPU v6 lite": 1640.0,
+}
 
 
 def reference_baseline() -> float:
@@ -50,52 +68,54 @@ def main():
     import jax.numpy as jnp
 
     from monkey_moore_tpu.dense import (
-        TILE_ELEMS,
         extract_hot_tiles_device,
         tile_counts,
     )
-    from monkey_moore_tpu.ops.scan_pallas import pallas_compute_mode
+    from monkey_moore_tpu.ops.scan_pallas import LANES, pallas_compute_mode
     from monkey_moore_tpu.pattern import compile_pattern
 
+    tile_elems = TILE_ROWS * LANES
     n = DATA_MB * 1024 * 1024
-    assert n % TILE_ELEMS == 0
+    assert n % tile_elems == 0
     pat = compile_pattern("abcde")
 
     if pallas_compute_mode() == "swar":
-        # Generate the corpus directly in HBM as packed random words (the
-        # SWAR kernel's operand layout; no host→device transfer — the
-        # tunnel used for development uploads at only a few MB/s).
-        # Chunked threefry with buffer donation keeps peak HBM at
-        # corpus + one chunk (a single 4 GiB jax.random call allocates
-        # 8x the output in u32 intermediates).
-        words = n // 4
-        chunk = min(words, 64 * 1024 * 1024)  # 256 MiB of corpus per fill
+        # Generate the corpus directly in HBM as packed random words in the
+        # SWAR kernel's 2-D operand layout (no host→device transfer — the
+        # tunnel used for development uploads at only a few MB/s, and an
+        # eager flat->2D reshape would materialize a second corpus-sized
+        # buffer).  Chunked threefry with buffer donation keeps peak HBM at
+        # corpus + one 256 MiB chunk.
+        lanes32 = LANES // 4
+        rows_total = (n + tile_elems) // 4 // lanes32
+        fill_rows = (64 * 1024 * 1024) // lanes32  # 256 MiB per fill
 
         @functools.partial(
             jax.jit, donate_argnums=0, static_argnames=("m",)
         )
-        def fill(buf, key, start, *, m):
-            w = jax.random.bits(key, (m,), dtype=jnp.uint32)
+        def fill(buf, key, row0, *, m):
+            w = jax.random.bits(key, (m, lanes32), dtype=jnp.uint32)
             w = jax.lax.bitcast_convert_type(w, jnp.int32)
-            return jax.lax.dynamic_update_slice(buf, w, (start,))
+            return jax.lax.dynamic_update_slice(buf, w, (row0, 0))
 
-        data = jnp.zeros(words + TILE_ELEMS // 4, dtype=jnp.int32)
-        for i, start in enumerate(range(0, words, chunk)):
-            m = min(chunk, words - start)
-            data = fill(data, jax.random.PRNGKey(i), jnp.int32(start), m=m)
+        data = jnp.zeros((rows_total, lanes32), dtype=jnp.int32)
+        corpus_rows = n // 4 // lanes32
+        for i, row0 in enumerate(range(0, corpus_rows, fill_rows)):
+            m = min(fill_rows, corpus_rows - row0)
+            data = fill(data, jax.random.PRNGKey(i), jnp.int32(row0), m=m)
     else:
         # host-backed path (CPU runs / toolchains with element-dtype
         # kernels): classic host buffer, mirroring the reference bench
         rng = np.random.default_rng(42)
-        arr = np.zeros(n + TILE_ELEMS, dtype=np.uint8)
+        arr = np.zeros(n + tile_elems, dtype=np.uint8)
         arr[:n] = rng.integers(0, 256, n, dtype=np.uint8)
         data = jnp.asarray(arr)
     data = jax.block_until_ready(data)
 
     def step():
-        counts = tile_counts(pat, data, n)
+        counts = tile_counts(pat, data, n, tile_elems=tile_elems)
         if counts.any():  # full production path incl. exact extraction
-            extract_hot_tiles_device(pat, data, counts, n)
+            extract_hot_tiles_device(pat, data, counts, n, tile_elems)
         return counts
 
     step()  # compile
@@ -110,17 +130,18 @@ def main():
 
     value = n / best
     baseline = reference_baseline()
-    print(
-        json.dumps(
-            {
-                "metric": "relative_search_scan_8bit_bytes_per_s",
-                "value": value,
-                "unit": "bytes/s",
-                "vs_baseline": value / baseline,
-            }
-        )
-    )
+    kind = jax.devices()[0].device_kind
+    roofline = HBM_GBPS.get(kind)
+    record = {
+        "metric": "relative_search_scan_8bit_bytes_per_s",
+        "value": value,
+        "unit": "bytes/s",
+        "vs_baseline": value / baseline,
+    }
+    if roofline:
+        record["pct_hbm_roofline"] = 100.0 * value / (roofline * 1e9)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)

@@ -242,33 +242,57 @@ def extract_hot_tiles_device(
     total = (
         arr_device.size * elems_per_word if packed else arr_device.size
     )
-    # 2-D corpora are sliced by row (an eager device flatten would copy);
-    # 1-D arrays are fetched by direct index range
-    two_d = getattr(arr_device, "ndim", 1) == 2
-    flat = arr_device if two_d else arr_device.reshape(-1)
-
-    def fetch(w0, w1):
-        """Host copy of storage units [w0, w1) of the device array."""
-        if not two_d:
-            return np.asarray(flat[w0:w1])
-        per_row = arr_device.shape[1]
-        r0, r1 = w0 // per_row, -(-w1 // per_row)
-        rows = np.asarray(arr_device[r0:r1]).reshape(-1)
-        return rows[w0 - r0 * per_row : w1 - r0 * per_row]
-
     shifts = recovery_shifts(pat)
     hot = np.nonzero(counts)[0]
+    if len(hot) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 2), dtype=np.int64)
+
+    # ONE batched gather for every hot tile: each device operation pays the
+    # full dispatch round-trip (~28 ms on the development relay), so
+    # per-tile slicing would cost n_hot dispatches.  The hot count is
+    # padded to the next power of two (duplicated last tile) to bound the
+    # number of distinct gather shapes the compile cache must hold.
+    two_d = getattr(arr_device, "ndim", 1) == 2
+    span_elems = tile_elems + L - 1
+    if packed:
+        span_w = span_elems // elems_per_word + 2
+        w0s = hot * (tile_elems // elems_per_word)
+    else:
+        span_w = span_elems
+        w0s = hot * tile_elems
+    n_pad = 1 << int(len(hot) - 1).bit_length()
+    w0s_pad = np.concatenate(
+        [w0s, np.repeat(w0s[-1:], n_pad - len(w0s))]
+    ).astype(np.int64)
+    if two_d:
+        per_row = arr_device.shape[1]
+        r0s = w0s_pad // per_row
+        rows_span = span_w // per_row + 2
+        idx = np.clip(
+            r0s[:, None] + np.arange(rows_span)[None, :],
+            0, arr_device.shape[0] - 1,
+        )
+        fetched = np.asarray(arr_device[idx]).reshape(n_pad, -1)
+        word_base = r0s * per_row  # storage index of each fetched row 0
+    else:
+        idx = np.clip(
+            w0s_pad[:, None] + np.arange(span_w)[None, :],
+            0, arr_device.shape[0] - 1,
+        )
+        fetched = np.asarray(arr_device[idx])
+        word_base = w0s_pad
+
     all_offsets = []
     all_values = []
-    for t in hot.tolist():
+    for i, t in enumerate(hot.tolist()):
         s0 = t * tile_elems
         s1 = min(total, s0 + tile_elems + L - 1)
         if packed:
             w0, w1 = s0 // elems_per_word, -(-s1 // elems_per_word)
-            sl = fetch(w0, w1).view(pat.dtype)
-            sl = sl[s0 - w0 * elems_per_word :][: s1 - s0]
+            sl = fetched[i][w0 - word_base[i] : w1 - word_base[i]]
+            sl = sl.view(pat.dtype)[s0 - w0 * elems_per_word :][: s1 - s0]
         else:
-            sl = fetch(s0, s1)
+            sl = fetched[i][s0 - word_base[i] : s1 - word_base[i]]
         # trim device padding past the valid element count
         sl = sl[: max(0, valid_count - s0)]
         pos = match_positions_np(pat, sl)

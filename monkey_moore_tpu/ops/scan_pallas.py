@@ -275,7 +275,10 @@ def swar_host_view(arr: np.ndarray) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pairs", "length", "tile_rows", "width", "interpret"),
+    static_argnames=(
+        "pairs", "length", "tile_rows", "width", "interpret",
+        "fine_per_block",
+    ),
 )
 def _tile_counts_swar_call(
     packed2d: jnp.ndarray,
@@ -287,6 +290,7 @@ def _tile_counts_swar_call(
     tile_rows: int,
     width: int,
     interpret: bool,
+    fine_per_block: int = 1,
 ):
     """SWAR tile-count kernel: elements packed 4-(u8) or 2-(u16) per int32
     lane, every vector op 32-bit (legal on Mosaic toolchains that reject
@@ -323,7 +327,14 @@ def _tile_counts_swar_call(
 
     rows, lanes32 = packed2d.shape
     assert tile_rows % 8 == 0, "tile_rows must be a multiple of 8 sublanes"
-    num_tiles = rows // tile_rows - 1
+    if fine_per_block == 1:
+        num_tiles = rows // tile_rows - 1
+    else:
+        # grouped dispatch: the trailing halo is one FINE tile (>= 8 rows,
+        # all the 8-row next_ref block needs), not a whole dispatch block
+        fine_rows = tile_rows // fine_per_block
+        assert fine_rows % 8 == 0 and tile_rows % fine_per_block == 0
+        num_tiles = (rows - fine_rows) // tile_rows
     k_per_word = 4 // width  # elements per i32 word
     ebits = 8 * width
     if width == 1:
@@ -426,7 +437,26 @@ def _tile_counts_swar_call(
             cnt = jax.lax.shift_right_logical(
                 ones * hONES, jnp.int32(32 - ebits)
             )
-            out_ref[:] = jnp.broadcast_to(jnp.sum(cnt), (8, 128))
+            if fine_per_block == 1:
+                out_ref[:] = jnp.broadcast_to(jnp.sum(cnt), (8, 128))
+                return
+            # Per-fine-tile sub-counts assembled into the (8, 128) output
+            # block (row-major slot f = fine tile f of this block): the
+            # dispatch block stays large for kernel rate while hot-tile
+            # extraction stays fine-grained — same output traffic either
+            # way.  Assembly via iota/select keeps every op a plain 2-D
+            # i32 vector op (Mosaic restricts small reshapes).
+            rows_per_fine = tile_rows // fine_per_block
+            rr = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            slot = rr * 128 + cc
+            out = jnp.zeros((8, 128), jnp.int32)
+            for f in range(fine_per_block):
+                s = jnp.sum(
+                    cnt[f * rows_per_fine : (f + 1) * rows_per_fine]
+                )
+                out = out + jnp.where(slot == f, s, 0)
+            out_ref[:] = out
 
         # validity masking runs ONLY in the tile holding the last valid
         # window start (valid split into tile index vt + remainder vr on
@@ -472,7 +502,10 @@ def _tile_counts_swar_call(
         out_shape=jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32),
         interpret=interpret,
     )(expected, valid, packed2d, packed2d)
-    return raw[::8, 0]
+    if fine_per_block == 1:
+        return raw[::8, 0]
+    # per-block (8, 128) slots, row-major: fine tile counts
+    return raw.reshape(num_tiles, 8 * 128)[:, :fine_per_block].reshape(-1)
 
 
 def tile_counts_pallas(
@@ -512,18 +545,35 @@ def tile_counts_pallas(
     from .scan_jnp import prefilter_expected
 
     expected = jnp.asarray(prefilter_expected(pat).astype(np.int32))
-    # int32-overflow-safe valid-limit encoding: the index of the tile
-    # holding the last valid window start, plus the tile-relative remainder
     lim = valid_count - pat.length
-    valid = jnp.asarray(
-        [lim // tile_elems, lim % tile_elems], dtype=jnp.int32
-    )
     if mode is None:
         mode = (pallas_compute_mode() or "native") if not interpret else "native"
     if packed:
         mode = "swar"  # pre-packed upload implies the SWAR layout
     if mode == "swar":
         width = np.dtype(pat.dtype).itemsize
+        # Dispatch-block auto-grouping: process 2^k fine (count) tiles per
+        # grid step, emitting 2^k sub-counts in the one (8, 128) output
+        # block — large VMEM blocks for kernel rate (measured: 256-row
+        # blocks 100 GB/s → 2048-row 117 GB/s end-to-end at 4 GiB) while
+        # hot-tile extraction granularity stays ``tile_rows``.  2048 rows
+        # (2 MiB) is the largest block fitting the 16 MiB scoped-VMEM
+        # budget with the kernel's shifted/diff intermediates.
+        block_rows, fine_per_block = tile_rows, 1
+        while (
+            fine_per_block * 2 <= 1024
+            and block_rows * 2 <= 2048
+            and num_tiles % (fine_per_block * 2) == 0
+        ):
+            fine_per_block *= 2
+            block_rows *= 2
+        block_elems = block_rows * elems_per_row
+        # int32-overflow-safe valid-limit encoding: the index of the BLOCK
+        # holding the last valid window start, plus the block-relative
+        # remainder
+        valid = jnp.asarray(
+            [lim // block_elems, lim % block_elems], dtype=jnp.int32
+        )
         # expected values pre-splatted across the i32 word on host, so the
         # kernel's per-check compare is a single scalar-broadcast xor
         ones_pat = 0x01010101 if width == 1 else 0x00010001
@@ -542,11 +592,15 @@ def tile_counts_pallas(
             valid,
             pairs=pairs,
             length=pat.length,
-            tile_rows=tile_rows,
+            tile_rows=block_rows,
             width=width,
             interpret=interpret,
+            fine_per_block=fine_per_block,
         )
     else:
+        valid = jnp.asarray(
+            [lim // tile_elems, lim % tile_elems], dtype=jnp.int32
+        )
         counts = _tile_counts_call(
             data2d,
             expected,

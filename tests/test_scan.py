@@ -341,6 +341,48 @@ class TestPallasKernelInterpret:
         )
         assert counts.tolist() == [len(brute_force_prefilter(pat, data))]
 
+    @pytest.mark.parametrize("tiles", [2, 4, 8])
+    @pytest.mark.parametrize("width", [1, 2])
+    def test_swar_grouped_dispatch_counts_per_fine_tile(self, tiles, width, rng):
+        # power-of-two fine-tile counts trigger the grouped dispatch path
+        # (several fine tiles per grid step, sub-counts in one output
+        # block); counts must stay identical per fine tile to the XLA
+        # prefilter, including matches straddling fine-tile boundaries and
+        # the valid-limit boundary
+        import jax.numpy as jnp
+        from monkey_moore_tpu.ops.scan_jnp import (
+            prefilter_expected,
+            tile_counts_xla,
+        )
+        from monkey_moore_tpu.ops.scan_pallas import LANES, tile_counts_pallas
+
+        dtype = np.uint8 if width == 1 else np.uint16
+        mod = 256 if width == 1 else 65536
+        tile_rows = 8
+        tile_elems = tile_rows * LANES
+        n = tiles * tile_elems - 137  # ragged valid limit
+        pat = compile_pattern("abcde", dtype=dtype)
+        arr = np.zeros((tiles + 1) * tile_elems, dtype=dtype)
+        arr[:n] = rng.integers(0, mod, n).astype(dtype)
+        kw = np.array(pat.keyword, dtype=np.int64)
+        plants = [3, tile_elems - 2, n - 5]  # incl. a tile straddle + EOF
+        plants += [t * tile_elems + 11 for t in range(tiles)]
+        for i, pos in enumerate(plants):
+            arr[pos : pos + 5] = ((kw + i) % mod).astype(dtype)
+        data2d = jnp.asarray(arr).reshape(-1, LANES)
+        got = tile_counts_pallas(
+            pat, data2d, n, tile_rows=tile_rows, interpret=True, mode="swar"
+        )
+        want = tile_counts_xla(
+            jnp.asarray(arr),
+            jnp.int32(n),
+            jnp.asarray(prefilter_expected(pat)),
+            pairs=((1, 0), (2, 1), (3, 2), (4, 3)),
+            length=5,
+            tile_elems=tile_elems,
+        )
+        assert got.tolist() == np.asarray(want).tolist()
+
     @pytest.mark.parametrize("name,make", CORPORA, ids=[n for n, _ in CORPORA])
     def test_i32_mode_counts_match_native(self, name, make):
         # the widened 32-bit compute mode (for toolchains that reject

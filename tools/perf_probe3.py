@@ -56,21 +56,25 @@ def main():
     pad_words = 8192 * lanes32
     words = n // 4
 
-    @functools.partial(jax.jit, donate_argnums=0, static_argnames=("m",))
-    def fill(buf, key, start, *, m):
-        w = jax.random.bits(key, (m,), dtype=jnp.uint32)
-        w = jax.lax.bitcast_convert_type(w, jnp.int32)
-        return jax.lax.dynamic_update_slice(buf, w, (start,))
+    # allocate the corpus as the kernel's 2-D operand directly — an eager
+    # flat->2D reshape would materialize a second corpus-sized buffer
+    rows_total = (words + pad_words) // lanes32
+    chunk = 64 * 1024 * 1024  # words per fill (256 MiB)
+    chunk_rows = chunk // lanes32
 
-    data = jnp.zeros(words + pad_words, dtype=jnp.int32)
-    chunk = 64 * 1024 * 1024
+    @functools.partial(jax.jit, donate_argnums=0, static_argnames=("m",))
+    def fill(buf, key, row0, *, m):
+        w = jax.random.bits(key, (m, lanes32), dtype=jnp.uint32)
+        w = jax.lax.bitcast_convert_type(w, jnp.int32)
+        return jax.lax.dynamic_update_slice(buf, w, (row0, 0))
+
+    data2d = jnp.zeros((rows_total, lanes32), dtype=jnp.int32)
     t0 = time.perf_counter()
-    for i, start in enumerate(range(0, words, chunk)):
-        m = min(chunk, words - start)
-        data = fill(data, jax.random.PRNGKey(i), jnp.int32(start), m=m)
-    data = jax.block_until_ready(data)
+    for i, row0 in enumerate(range(0, words // lanes32, chunk_rows)):
+        m = min(chunk_rows, words // lanes32 - row0)
+        data2d = fill(data2d, jax.random.PRNGKey(i), jnp.int32(row0), m=m)
+    data2d = jax.block_until_ready(data2d)
     emit("corpus_fill", time.perf_counter() - t0, n)
-    data2d = data.reshape(-1, lanes32)
 
     pat = compile_pattern("abcde")
     for tile_rows in (2048, 4096, 8192):
