@@ -508,6 +508,65 @@ def _tile_counts_swar_call(
     return raw.reshape(num_tiles, 8 * 128)[:, :fine_per_block].reshape(-1)
 
 
+def swar_dispatch_args(
+    pat: CompiledPattern,
+    num_fine_tiles: int,
+    valid_count: int,
+    tile_rows: int,
+):
+    """Grouped-dispatch geometry + device operands for the SWAR kernel call.
+
+    Shared by :func:`tile_counts_pallas` and the fused one-dispatch scan in
+    ``dense.py``.  Returns ``(expected_splat, valid, static)`` where
+    ``static`` holds the keyword arguments of ``_tile_counts_swar_call``
+    (``pairs``/``length``/``tile_rows``/``width``/``fine_per_block``).
+
+    Dispatch-block auto-grouping: process 2^k fine (count) tiles per grid
+    step, emitting 2^k sub-counts in the one (8, 128) output block — large
+    VMEM blocks for kernel rate (measured: 256-row blocks 100 GB/s →
+    2048-row 117 GB/s end-to-end at 4 GiB) while hot-tile extraction
+    granularity stays ``tile_rows``.  2048 rows (2 MiB) is the largest block
+    fitting the 16 MiB scoped-VMEM budget with the kernel's shifted/diff
+    intermediates.
+    """
+    from .scan_jnp import prefilter_expected
+
+    width = np.dtype(pat.dtype).itemsize
+    block_rows, fine_per_block = tile_rows, 1
+    while (
+        fine_per_block * 2 <= 1024
+        and block_rows * 2 <= 2048
+        and num_fine_tiles % (fine_per_block * 2) == 0
+    ):
+        fine_per_block *= 2
+        block_rows *= 2
+    block_elems = block_rows * LANES
+    lim = valid_count - pat.length
+    # int32-overflow-safe valid-limit encoding: the index of the BLOCK
+    # holding the last valid window start, plus the block-relative remainder
+    valid = jnp.asarray(
+        [lim // block_elems, lim % block_elems], dtype=jnp.int32
+    )
+    # expected values pre-splatted across the i32 word on host, so the
+    # kernel's per-check compare is a single scalar-broadcast xor
+    ones_pat = 0x01010101 if width == 1 else 0x00010001
+    exp_ty = prefilter_expected(pat).astype(np.uint64)
+    splat = (exp_ty * ones_pat) & 0xFFFFFFFF
+    expected_splat = jnp.asarray(splat.astype(np.uint32).view(np.int32))
+    pairs = tuple(
+        (int(c), int(p))
+        for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
+    )
+    static = dict(
+        pairs=pairs,
+        length=pat.length,
+        tile_rows=block_rows,
+        width=width,
+        fine_per_block=fine_per_block,
+    )
+    return expected_splat, valid, static
+
+
 def tile_counts_pallas(
     pat: CompiledPattern,
     data2d: jnp.ndarray,
@@ -552,35 +611,8 @@ def tile_counts_pallas(
         mode = "swar"  # pre-packed upload implies the SWAR layout
     if mode == "swar":
         width = np.dtype(pat.dtype).itemsize
-        # Dispatch-block auto-grouping: process 2^k fine (count) tiles per
-        # grid step, emitting 2^k sub-counts in the one (8, 128) output
-        # block — large VMEM blocks for kernel rate (measured: 256-row
-        # blocks 100 GB/s → 2048-row 117 GB/s end-to-end at 4 GiB) while
-        # hot-tile extraction granularity stays ``tile_rows``.  2048 rows
-        # (2 MiB) is the largest block fitting the 16 MiB scoped-VMEM
-        # budget with the kernel's shifted/diff intermediates.
-        block_rows, fine_per_block = tile_rows, 1
-        while (
-            fine_per_block * 2 <= 1024
-            and block_rows * 2 <= 2048
-            and num_tiles % (fine_per_block * 2) == 0
-        ):
-            fine_per_block *= 2
-            block_rows *= 2
-        block_elems = block_rows * elems_per_row
-        # int32-overflow-safe valid-limit encoding: the index of the BLOCK
-        # holding the last valid window start, plus the block-relative
-        # remainder
-        valid = jnp.asarray(
-            [lim // block_elems, lim % block_elems], dtype=jnp.int32
-        )
-        # expected values pre-splatted across the i32 word on host, so the
-        # kernel's per-check compare is a single scalar-broadcast xor
-        ones_pat = 0x01010101 if width == 1 else 0x00010001
-        exp_ty = prefilter_expected(pat).astype(np.uint64)
-        splat = (exp_ty * ones_pat) & 0xFFFFFFFF
-        expected_splat = jnp.asarray(
-            splat.astype(np.uint32).view(np.int32)
+        expected_splat, valid, static = swar_dispatch_args(
+            pat, num_tiles, valid_count, tile_rows
         )
         if data2d.dtype == jnp.int32:
             packed2d = data2d  # pre-packed upload (swar_host_view)
@@ -590,12 +622,8 @@ def tile_counts_pallas(
             packed2d,
             expected_splat,
             valid,
-            pairs=pairs,
-            length=pat.length,
-            tile_rows=block_rows,
-            width=width,
             interpret=interpret,
-            fine_per_block=fine_per_block,
+            **static,
         )
     else:
         valid = jnp.asarray(

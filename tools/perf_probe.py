@@ -1,20 +1,33 @@
 #!/usr/bin/env python
-"""Roofline probe for the SWAR Pallas scan kernel (real TPU, via relay).
+"""Roofline / breakdown probe for the SWAR Pallas scan kernel (real TPU).
 
-Measures, with device->host result fetches forcing real synchronization
-(see docs/PERF.md "async mirage"):
+Every timing fetches a result device->host to force real synchronization
+(see docs/PERF.md "async mirage" — `block_until_ready` alone can return
+early on the axon relay).  Run under ``nohup`` and poll the log; never
+hard-kill a JAX process mid-operation (it poisons the relay for ~10 min).
 
-  1. relay dispatch floor   — trivial jit fn, scalar fetch
-  2. HBM read roofline      — jnp.sum over the resident corpus (one pass)
-  3. SWAR tile-count kernel — tile_rows in {256, 512, 1024}
-  4. fetch cost             — full counts array vs pre-reduced scalar
+Stages (``--stage``, comma-separated; default ``floor,roofline,kernel``):
 
-Prints one JSON line per measurement; run under nohup and poll the log.
+  floor     relay dispatch floor (trivial jit fn, scalar fetch) and the
+            pure D2H cost of a counts-sized array
+  roofline  HBM read speed-of-light: jnp.sum over the resident corpus,
+            single-pass and two-passes-in-one-dispatch (marginal rate)
+  kernel    SWAR tile-count kernel across --tile-rows heights, counts
+            fetched each iteration (the production phase-1 measurement)
+  variants  wildcard ("ab*de"), 16-bit, and 12-char-keyword kernel rates
+  e2e       full production step breakdown at the engine's 64 KiB count
+            tiles: counts-only, hot-tile extraction only, full step
+
+Examples (the measurements in docs/PERF.md):
+
+  nohup python tools/perf_probe.py --mb 4096 > /tmp/probe.log &
+  nohup python tools/perf_probe.py --mb 8192 --stage kernel,e2e \
+      --tile-rows 2048 > /tmp/probe8g.log &
 """
 
+import argparse
 import functools
 import json
-import os
 import sys
 import time
 from pathlib import Path
@@ -22,33 +35,52 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-DATA_MB = int(os.environ.get("MMTPU_PROBE_MB", "4096"))
-ITERS = int(os.environ.get("MMTPU_PROBE_ITERS", "8"))
 
-
-def emit(name, seconds, nbytes=None):
+def emit(name, seconds, nbytes=None, **extra):
     rec = {"probe": name, "ms": seconds * 1e3}
     if nbytes:
         rec["gbps"] = nbytes / seconds / 1e9
+    rec.update(extra)
     print(json.dumps(rec), flush=True)
 
 
-def timeit(fn, iters=ITERS):
-    fn()  # compile / warm
-    fn()
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
+def make_timeit(iters):
+    def timeit(fn):
+        fn()  # compile / warm
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return timeit
 
 
 def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mb", type=int, default=4096, help="corpus MiB (u8)")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument(
+        "--stage", default="floor,roofline,kernel",
+        help="comma list: floor,roofline,kernel,variants,e2e,all",
+    )
+    ap.add_argument(
+        "--tile-rows", default="256,1024,2048",
+        help="comma list of kernel tile heights for the kernel stage",
+    )
+    args = ap.parse_args()
+    stages = set(args.stage.split(","))
+    if "all" in stages:
+        stages = {"floor", "roofline", "kernel", "variants", "e2e"}
+    timeit = make_timeit(args.iters)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from monkey_moore_tpu.dense import extract_hot_tiles_device, tile_counts
     from monkey_moore_tpu.ops.scan_pallas import (
         LANES,
         pallas_compute_mode,
@@ -58,63 +90,145 @@ def main():
     from monkey_moore_tpu.utils.jit_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    print(json.dumps({"probe": "mode", "mode": pallas_compute_mode()}),
-          flush=True)
+    dev = jax.devices()[0]
+    print(
+        json.dumps(
+            {
+                "probe": "device",
+                "kind": dev.device_kind,
+                "mode": pallas_compute_mode(),
+                "mb": args.mb,
+            }
+        ),
+        flush=True,
+    )
 
-    n = DATA_MB * 1024 * 1024  # corpus bytes (u8 elements)
-    pat = compile_pattern("abcde")
+    n = args.mb * 1024 * 1024
     lanes32 = LANES // 4
-    max_tile_rows = 1024
-    pad_words = max_tile_rows * lanes32
     words = n // 4
+    tile_rows_list = [int(t) for t in args.tile_rows.split(",")]
+    pad_rows = max(tile_rows_list + [2048])
+
+    # Allocate the corpus directly as the kernel's 2-D packed operand — an
+    # eager flat->2D reshape of a device array would materialize a second
+    # corpus-sized buffer (OOM at 8 GiB on a 16 GiB chip).  Chunked threefry
+    # fill with buffer donation keeps peak HBM at corpus + one 256 MiB chunk.
+    rows_total = words // lanes32 + pad_rows
+    chunk_rows = (64 * 1024 * 1024) // lanes32  # 256 MiB per fill
 
     @functools.partial(jax.jit, donate_argnums=0, static_argnames=("m",))
-    def fill(buf, key, start, *, m):
-        w = jax.random.bits(key, (m,), dtype=jnp.uint32)
+    def fill(buf, key, row0, *, m):
+        w = jax.random.bits(key, (m, lanes32), dtype=jnp.uint32)
         w = jax.lax.bitcast_convert_type(w, jnp.int32)
-        return jax.lax.dynamic_update_slice(buf, w, (start,))
+        return jax.lax.dynamic_update_slice(buf, w, (row0, 0))
 
+    corpus_rows = words // lanes32
+    data2d = jnp.zeros((rows_total, lanes32), dtype=jnp.int32)
     t0 = time.perf_counter()
-    data = jnp.zeros(words + pad_words, dtype=jnp.int32)
-    chunk = 64 * 1024 * 1024
-    for i, start in enumerate(range(0, words, chunk)):
-        m = min(chunk, words - start)
-        data = fill(data, jax.random.PRNGKey(i), jnp.int32(start), m=m)
-    data = jax.block_until_ready(data)
+    for i, row0 in enumerate(range(0, corpus_rows, chunk_rows)):
+        m = min(chunk_rows, corpus_rows - row0)
+        data2d = fill(data2d, jax.random.PRNGKey(i), jnp.int32(row0), m=m)
+    data2d = jax.block_until_ready(data2d)
     emit("corpus_fill", time.perf_counter() - t0, n)
 
-    # 1. relay dispatch floor
-    one = jnp.ones((8, 128), jnp.int32)
-    tiny = jax.jit(lambda x: jnp.sum(x))
-    emit("dispatch_floor_scalar_fetch", timeit(lambda: int(tiny(one))))
+    pat = compile_pattern("abcde")  # the reference benchmark keyword
 
-    # 2. HBM read roofline: one full pass over the corpus, scalar out
-    red = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
-    emit("hbm_read_sum", timeit(lambda: int(red(data))), n)
-    # two passes in one dispatch (dispatch-overhead-free marginal rate)
-    red2 = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32) + jnp.sum(x[::-1], dtype=jnp.int32))
-    emit("hbm_read_sum_x2", timeit(lambda: int(red2(data))), 2 * n)
+    if "floor" in stages:
+        one = jnp.ones((8, 128), jnp.int32)
+        tiny = jax.jit(lambda x: jnp.sum(x))
+        emit("dispatch_floor_scalar_fetch", timeit(lambda: int(tiny(one))))
+        counts_sized = jnp.zeros(n // (64 * 1024), dtype=jnp.int32)
+        counts_sized = jax.block_until_ready(counts_sized)
+        emit("counts_d2h_only", timeit(lambda: np.asarray(counts_sized)))
 
-    # 3. SWAR kernel across tile heights (counts fetched to host each iter)
-    for tile_rows in (256, 512, 1024):
-        data2d = data.reshape(-1, lanes32)
-
-        def step():
-            counts = tile_counts_pallas(
-                pat, data2d, n, tile_rows=tile_rows
+    if "roofline" in stages:
+        red = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+        emit("hbm_read_sum", timeit(lambda: int(red(data2d))), n)
+        # two passes in one dispatch (dispatch-overhead-free marginal rate);
+        # the reverse forces XLA to actually read twice, but it materializes
+        # a corpus-sized temp — only feasible when half the HBM is free
+        red2 = jax.jit(
+            lambda x: jnp.sum(x, dtype=jnp.int32)
+            + jnp.sum(x[::-1], dtype=jnp.int32)
+        )
+        try:
+            emit("hbm_read_sum_x2", timeit(lambda: int(red2(data2d))), 2 * n)
+        except Exception as e:  # OOM at large corpora — skip, not fatal
+            print(
+                json.dumps(
+                    {"probe": "hbm_read_sum_x2", "skipped": str(e)[:120]}
+                ),
+                flush=True,
             )
-            return np.asarray(counts)
 
-        emit(f"swar_counts_tile_rows_{tile_rows}", timeit(step), n)
+    if "kernel" in stages:
+        for tile_rows in tile_rows_list:
+            def step(tr=tile_rows):
+                return np.asarray(
+                    tile_counts_pallas(pat, data2d, n, tile_rows=tr)
+                )
 
-    # 4. fetch cost: full counts array vs pre-reduced scalar
-    data2d = data.reshape(-1, lanes32)
+            emit(f"swar_counts_tile_rows_{tile_rows}", timeit(step), n)
+            c = step()
+            print(
+                json.dumps(
+                    {"probe": f"counts_sum_{tile_rows}", "sum": int(c.sum())}
+                ),
+                flush=True,
+            )
 
-    def step_scalar():
-        counts = tile_counts_pallas(pat, data2d, n, tile_rows=256)
-        return int(jnp.sum(counts))
+    if "variants" in stages:
+        cases = [
+            ("wildcard_ab*de", compile_pattern("ab*de", "*"), n),
+            ("16bit", compile_pattern("abcde", dtype=np.uint16), n // 2),
+            ("L12", compile_pattern("abcdefghijkl"), n),
+        ]
+        for name, p, valid in cases:
+            def step(p=p, valid=valid):
+                return np.asarray(
+                    tile_counts_pallas(p, data2d, valid, tile_rows=1024)
+                )
 
-    emit("swar_counts_scalar_fetch", timeit(step_scalar), n)
+            emit(f"swar_{name}_tile_rows_1024", timeit(step), n)
+
+    if "e2e" in stages:
+        # the engine/bench configuration: 64 KiB count tiles, auto-grouped
+        # into 2 MiB dispatch blocks, hot tiles fetched in one batched gather
+        tile_elems = 64 * LANES
+
+        def counts_only():
+            return tile_counts(pat, data2d, n, tile_elems=tile_elems)
+
+        emit("e2e_counts_only_64k_tiles", timeit(counts_only), n)
+        counts = counts_only()
+        hot = np.nonzero(counts)[0]
+        print(
+            json.dumps(
+                {
+                    "probe": "hot_tiles",
+                    "n": int(len(hot)),
+                    "sum": int(counts.sum()),
+                }
+            ),
+            flush=True,
+        )
+        if len(hot):
+            emit(
+                "e2e_extract_only",
+                timeit(
+                    lambda: extract_hot_tiles_device(
+                        pat, data2d, counts, n, tile_elems
+                    )
+                ),
+            )
+
+        def full_step():
+            c = tile_counts(pat, data2d, n, tile_elems=tile_elems)
+            if c.any():
+                extract_hot_tiles_device(pat, data2d, c, n, tile_elems)
+            return c
+
+        emit("e2e_full_step", timeit(full_step), n)
 
 
 if __name__ == "__main__":
