@@ -6,8 +6,9 @@ random data, 5-char keyword "abcde", bytes/s) on device-resident data — the
 interactive ROM-exploration workload where the corpus is loaded to HBM once
 and searched repeatedly.  The corpus is generated directly in HBM (threefry,
 seed per chunk) in the scan kernel's packed SWAR 2-D layout; each timed step
-runs the full production path — device tile-count prefilter plus exact host
-extraction of any hot tiles (fetched device→host on demand).
+runs the full production path — ONE fused dispatch computing the tile-count
+prefilter and gathering any hot tiles, with exact extraction on the fetched
+rows (``dense.fused_count_extract``).
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "bytes/s", "vs_baseline": N,
@@ -67,10 +68,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from monkey_moore_tpu.dense import (
-        extract_hot_tiles_device,
-        tile_counts,
-    )
+    from monkey_moore_tpu.dense import fused_count_extract
     from monkey_moore_tpu.ops.scan_pallas import LANES, pallas_compute_mode
     from monkey_moore_tpu.pattern import compile_pattern
 
@@ -113,9 +111,11 @@ def main():
     data = jax.block_until_ready(data)
 
     def step():
-        counts = tile_counts(pat, data, n, tile_elems=tile_elems)
-        if counts.any():  # full production path incl. exact extraction
-            extract_hot_tiles_device(pat, data, counts, n, tile_elems)
+        # full production path: ONE fused dispatch computes tile counts AND
+        # gathers hot tiles; exact extraction runs on the fetched rows
+        counts, offs, vals = fused_count_extract(
+            pat, data, n, tile_elems=tile_elems
+        )
         return counts
 
     step()  # compile

@@ -36,6 +36,7 @@ __all__ = [
     "dense_candidates",
     "two_phase_candidates",
     "tile_counts",
+    "fused_count_extract",
     "extract_hot_tiles",
     "extract_hot_tiles_device",
     "TILE_ELEMS",
@@ -144,6 +145,151 @@ def tile_counts(
             tile_elems=tile_elems,
         )
     return np.asarray(counts)
+
+
+def _positions_from_slice(pat, sl, tile_elems, s0, valid_count, shifts):
+    """Exact offsets + recovery values from one hot tile's element slice.
+
+    ``sl`` covers ``tile_elems + L - 1`` elements from tile start ``s0``
+    (element index); trimmed here to the valid element count.
+    """
+    sl = sl[: max(0, valid_count - s0)]
+    pos = match_positions_np(pat, sl)
+    pos = pos[pos < tile_elems]
+    if not len(pos):
+        return None
+    v0 = sl[np.minimum(pos + shifts[0], len(sl) - 1)].astype(np.int64)
+    v1 = sl[
+        np.minimum(
+            pos + (shifts[1] if len(shifts) > 1 else shifts[0]),
+            len(sl) - 1,
+        )
+    ].astype(np.int64)
+    return pos + s0, np.stack([v0, v1], axis=1)
+
+
+_EMPTY = (
+    np.zeros(0, dtype=np.int64),
+    np.zeros((0, 2), dtype=np.int64),
+)
+
+
+def fused_count_extract(
+    pat: CompiledPattern,
+    arr_device,
+    valid_count: int,
+    use_pallas: bool = True,
+    interpret: bool = False,
+    tile_elems: int = TILE_ELEMS,
+    grid_offset: int = 0,
+    k_cap: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Phases 1 + 2 for device-resident data in ONE device dispatch.
+
+    Returns ``(counts, offsets, values)``.  The jitted step computes per-tile
+    match counts AND gathers the rows of the first ``k_cap`` hot tiles, so a
+    chunk with matches costs one dispatch round-trip instead of two (the
+    relay's fixed ~28 ms dispatch cost dominates; see docs/PERF.md).  The
+    gathered rows transfer device→host only when the counts show hot tiles;
+    more than ``k_cap`` hot tiles falls back to the batched gather
+    (:func:`extract_hot_tiles_device`, one extra dispatch — rare).
+
+    TPU-native replacement for the reference's per-thread "scan then walk
+    the block again" structure (``src/core/search_engine.cpp:107-168``).
+    """
+    import jax.numpy as jnp
+
+    L = pat.length
+    shifts = recovery_shifts(pat)
+    max_shift = int(pat.chk_shift_cur.max()) if len(pat.chk_shift_cur) else 0
+    pallas_ok = _use_pallas_backend(use_pallas, interpret, tile_elems) and (
+        max_shift < LANES
+    )
+    if len(pat.chk_shift_cur) == 0:
+        # all-wildcard keywords match every window — every tile is hot, so
+        # fusion buys nothing; use the two-dispatch path's host special-case
+        counts = tile_counts(
+            pat, arr_device, valid_count, use_pallas=use_pallas,
+            interpret=interpret, tile_elems=tile_elems,
+        )
+        offs, vals = extract_hot_tiles_device(
+            pat, arr_device, counts, valid_count, tile_elems, grid_offset
+        )
+        return counts, offs, vals
+
+    packed = arr_device.dtype == np.int32 and np.dtype(pat.dtype) != np.int32
+    if pallas_ok:
+        from .ops.scan_pallas import tile_counts_gather_pallas
+
+        if getattr(arr_device, "ndim", 1) == 2:
+            data2d = arr_device
+        elif packed:
+            lanes32 = LANES * np.dtype(pat.dtype).itemsize // 4
+            data2d = arr_device.reshape(-1, lanes32)
+        else:
+            data2d = arr_device.reshape(-1, LANES)
+        counts_dev, fetched_dev = tile_counts_gather_pallas(
+            pat,
+            data2d,
+            valid_count,
+            tile_rows=tile_elems // LANES,
+            k_cap=k_cap,
+            interpret=interpret,
+        )
+    else:
+        from .ops.scan_jnp import prefilter_expected, tile_counts_gather_xla
+
+        assert not packed, (
+            "packed SWAR arrays require the Pallas backend (see wants_packed)"
+        )
+        flat = (
+            arr_device.reshape(-1)
+            if getattr(arr_device, "ndim", 1) == 2
+            else arr_device
+        )
+        pairs = tuple(
+            (int(c), int(p))
+            for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
+        )
+        counts_dev, fetched_dev = tile_counts_gather_xla(
+            flat,
+            jnp.int32(valid_count),
+            jnp.asarray(prefilter_expected(pat)),
+            pairs=pairs,
+            length=L,
+            tile_elems=tile_elems,
+            k_cap=k_cap,
+            span=tile_elems + L - 1,
+        )
+    counts = np.asarray(counts_dev)
+    hot = np.nonzero(counts)[0]
+    if len(hot) == 0:
+        return counts, *_EMPTY
+    if len(hot) > k_cap:
+        offs, vals = extract_hot_tiles_device(
+            pat, arr_device, counts, valid_count, tile_elems, grid_offset
+        )
+        return counts, offs, vals
+
+    fetched = np.asarray(fetched_dev)  # (k_cap, span_rows|span, row|1)
+    all_offsets, all_values = [], []
+    for i, t in enumerate(hot.tolist()):
+        flat_i = fetched[i].reshape(-1)
+        elems = flat_i.view(pat.dtype) if packed else flat_i
+        sl = elems[: tile_elems + L - 1]
+        got = _positions_from_slice(
+            pat, sl, tile_elems, t * tile_elems, valid_count, shifts
+        )
+        if got is not None:
+            all_offsets.append(got[0])
+            all_values.append(got[1])
+    if not all_offsets:
+        return counts, *_EMPTY
+    return (
+        counts,
+        np.concatenate(all_offsets) + grid_offset,
+        np.concatenate(all_values),
+    )
 
 
 def two_phase_candidates(

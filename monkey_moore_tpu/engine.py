@@ -308,7 +308,7 @@ class SearchEngine:
         from .dense import (
             TILE_ELEMS,
             extract_hot_tiles,
-            extract_hot_tiles_device,
+            fused_count_extract,
             tile_counts,
             wants_packed,
         )
@@ -410,7 +410,10 @@ class SearchEngine:
                                 pat, tile_elems, cfg.use_pallas
                             ),
                         )
-                        counts = tile_counts(
+                        # fused one-dispatch counts + hot-tile gather: a
+                        # chunk with matches costs one relay round-trip
+                        # instead of two (counts, then extraction gather)
+                        counts, res_offs, res_vals = fused_count_extract(
                             pat,
                             dev_arr,
                             count_here,
@@ -436,12 +439,8 @@ class SearchEngine:
                     timer.stats.hot_tiles += int((counts > 0).sum())
                     with timer.stage("host_extract"):
                         if resident is not None:
-                            # fetch only the hot tiles device->host
-                            # (tile_elems + L - 1 elements each) instead of
-                            # re-decoding the whole chunk on host
-                            offs, vals = extract_hot_tiles_device(
-                                pat, dev_arr, counts, count_here, tile_elems
-                            )
+                            # already extracted by the fused dispatch
+                            offs, vals = res_offs, res_vals
                         else:
                             offs, vals = extract_hot_tiles(
                                 pat, arr[:count_here], counts, tile_elems

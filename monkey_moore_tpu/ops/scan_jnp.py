@@ -34,6 +34,7 @@ __all__ = [
     "compact_matches",
     "scan_chunk",
     "tile_counts_xla",
+    "tile_counts_gather_xla",
     "pattern_device_args",
 ]
 
@@ -215,6 +216,42 @@ def _count_body(
     idx = jnp.arange(counted, dtype=jnp.int32)
     ok = ok & (idx <= valid_count - length)
     return jnp.sum(ok.astype(jnp.int32).reshape(-1, tile_elems), axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pairs", "length", "tile_elems", "k_cap", "span"),
+)
+def tile_counts_gather_xla(
+    data: jnp.ndarray,
+    valid_count: jnp.ndarray,
+    expected_ty: jnp.ndarray,
+    *,
+    pairs: tuple,
+    length: int,
+    tile_elems: int,
+    k_cap: int,
+    span: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused :func:`tile_counts_xla` + device gather of the first ``k_cap``
+    hot tiles (``span = tile_elems + L - 1`` elements each) in ONE dispatch —
+    the XLA twin of ``scan_pallas.tile_counts_gather_pallas``.
+
+    Element-index gather: requires ``data.shape[0] < 2**31`` (chunked engine
+    paths; huge resident corpora use the Pallas row gather instead).  Padded
+    slots duplicate tile 0; callers ignore them past the hot count.
+    """
+    counts = _count_body(
+        data, valid_count, expected_ty, pairs, length, tile_elems
+    )
+    hot = jnp.nonzero(counts, size=k_cap, fill_value=0)[0].astype(jnp.int32)
+    idx = jnp.clip(
+        hot[:, None] * jnp.int32(tile_elems)
+        + jnp.arange(span, dtype=jnp.int32)[None, :],
+        0,
+        data.shape[0] - 1,
+    )
+    return counts, data[idx]
 
 
 @functools.partial(

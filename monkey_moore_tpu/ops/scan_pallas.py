@@ -567,6 +567,144 @@ def swar_dispatch_args(
     return expected_splat, valid, static
 
 
+def _hot_row_gather(data2d, counts, k_cap, rows_per_tile, rows_span):
+    """Device-side gather of the first ``k_cap`` hot tiles' rows.
+
+    Row-index arithmetic (not element-index) keeps the indices within int32
+    even for >2^31-element corpora: an 8 GiB u8 corpus has 2^33 elements but
+    only 2^26 rows.  Padded slots (fewer than k_cap hot tiles) duplicate
+    tile 0; the host ignores them.
+    """
+    hot = jnp.nonzero(counts, size=k_cap, fill_value=0)[0].astype(jnp.int32)
+    idx = jnp.clip(
+        hot[:, None] * jnp.int32(rows_per_tile)
+        + jnp.arange(rows_span, dtype=jnp.int32)[None, :],
+        0,
+        data2d.shape[0] - 1,
+    )
+    return data2d[idx]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pairs", "length", "tile_rows", "width", "interpret",
+        "fine_per_block", "k_cap", "rows_per_tile", "rows_span",
+    ),
+)
+def _swar_counts_gather_call(
+    packed2d, expected, valid, *, pairs, length, tile_rows, width,
+    interpret, fine_per_block, k_cap, rows_per_tile, rows_span,
+):
+    counts = _tile_counts_swar_call(
+        packed2d, expected, valid, pairs=pairs, length=length,
+        tile_rows=tile_rows, width=width, interpret=interpret,
+        fine_per_block=fine_per_block,
+    )
+    return counts, _hot_row_gather(
+        packed2d, counts, k_cap, rows_per_tile, rows_span
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pairs", "length", "tile_rows", "widen", "interpret",
+        "k_cap", "rows_span",
+    ),
+)
+def _native_counts_gather_call(
+    data2d, expected, valid, *, pairs, length, tile_rows, widen,
+    interpret, k_cap, rows_span,
+):
+    counts = _tile_counts_call(
+        data2d, expected, valid, pairs=pairs, length=length,
+        tile_rows=tile_rows, widen=widen, interpret=interpret,
+    )
+    return counts, _hot_row_gather(
+        data2d, counts, k_cap, tile_rows, rows_span
+    )
+
+
+def tile_counts_gather_pallas(
+    pat: CompiledPattern,
+    data2d: jnp.ndarray,
+    valid_count: int,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+    k_cap: int = 8,
+    interpret: bool = False,
+    mode: str | None = None,
+):
+    """Fused phase 1 + phase 2 gather in ONE device dispatch.
+
+    Returns device arrays ``(counts, fetched)``: int32[T] per-tile match
+    counts plus ``fetched[k_cap, rows_span, lanes]`` — the rows of the first
+    ``k_cap`` hot tiles (each covering ``tile_elems + L - 1`` elements from
+    its tile start).  On a dispatch-latency-dominated link (the axon relay
+    costs ~28 ms per round trip) this halves the per-step cost whenever a
+    chunk has matches: the separate ``extract_hot_tiles_device`` gather
+    dispatch disappears.  Callers check ``counts`` on host; if more than
+    ``k_cap`` tiles are hot they fall back to the batched gather
+    (``dense.extract_hot_tiles_device``).
+
+    Same tiling/halo contract as :func:`tile_counts_pallas`.
+    """
+    rows, lanes = data2d.shape
+    num_tiles = rows // tile_rows - 1
+    packed = data2d.dtype == jnp.int32 and np.dtype(pat.dtype) != np.int32
+    width = np.dtype(pat.dtype).itemsize
+    L = pat.length
+    # both layouts hold LANES elements per row, so the span covering
+    # tile_elems + L - 1 elements from a row-aligned tile start is:
+    rows_span = tile_rows + -(-(L - 1) // LANES)
+    if mode is None:
+        mode = (pallas_compute_mode() or "native") if not interpret else "native"
+    if packed:
+        mode = "swar"
+    if mode == "swar":
+        expected_splat, valid, static = swar_dispatch_args(
+            pat, num_tiles, valid_count, tile_rows
+        )
+        packed2d = (
+            data2d if data2d.dtype == jnp.int32
+            else _pack_words(data2d, width=width)
+        )
+        return _swar_counts_gather_call(
+            packed2d,
+            expected_splat,
+            valid,
+            interpret=interpret,
+            k_cap=k_cap,
+            rows_per_tile=tile_rows,
+            rows_span=rows_span,
+            **static,
+        )
+    from .scan_jnp import prefilter_expected
+
+    pairs = tuple(
+        (int(c), int(p))
+        for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
+    )
+    expected = jnp.asarray(prefilter_expected(pat).astype(np.int32))
+    tile_elems = tile_rows * lanes
+    lim = valid_count - L
+    valid = jnp.asarray(
+        [lim // tile_elems, lim % tile_elems], dtype=jnp.int32
+    )
+    return _native_counts_gather_call(
+        data2d,
+        expected,
+        valid,
+        pairs=pairs,
+        length=L,
+        tile_rows=tile_rows,
+        widen=mode == "i32",
+        interpret=interpret,
+        k_cap=k_cap,
+        rows_span=rows_span,
+    )
+
+
 def tile_counts_pallas(
     pat: CompiledPattern,
     data2d: jnp.ndarray,

@@ -263,6 +263,104 @@ class TestDeviceResidentExtraction:
         assert val_dev.tolist() == val_host.tolist()
 
 
+class TestFusedCountExtract:
+    """dense.fused_count_extract: ONE dispatch computes tile counts AND
+    gathers hot tiles; must be offset/value-identical to the two-dispatch
+    composition (tile_counts + extract_hot_tiles_device)."""
+
+    def _planted(self, pat, n_tiles, plants, dtype=np.uint8):
+        from monkey_moore_tpu.dense import TILE_ELEMS
+
+        n = n_tiles * TILE_ELEMS + 77
+        arr = np.zeros((n_tiles + 2) * TILE_ELEMS, dtype=dtype)
+        kw = (np.array(pat.keyword) + 3).astype(dtype)
+        for pos in plants:
+            arr[pos : pos + len(kw)] = kw
+        return arr, n
+
+    @pytest.mark.parametrize(
+        "backend", ["xla", "pallas-interpret", "packed-interpret"]
+    )
+    def test_matches_two_dispatch_path(self, backend):
+        import jax.numpy as jnp
+        from monkey_moore_tpu.dense import (
+            TILE_ELEMS,
+            extract_hot_tiles_device,
+            fused_count_extract,
+            tile_counts,
+        )
+        from monkey_moore_tpu.ops.scan_pallas import swar_host_view
+
+        pat = compile_pattern("abcde")
+        arr, n = self._planted(
+            pat,
+            2,
+            [10, TILE_ELEMS - 2, 2 * TILE_ELEMS + 50, n_plus(2) - 5],
+        )
+        arr[n + 8 : n + 13] = (np.array(pat.keyword) + 3).astype(np.uint8)
+        interpret = backend != "xla"
+        use_pallas = backend != "xla"
+        dev = jnp.asarray(
+            swar_host_view(arr) if backend == "packed-interpret" else arr
+        )
+        counts, offs, vals = fused_count_extract(
+            pat, dev, n, use_pallas=use_pallas, interpret=interpret
+        )
+        ref_counts = tile_counts(
+            pat, jnp.asarray(arr), n, use_pallas=use_pallas,
+            interpret=interpret,
+        )
+        ref_offs, ref_vals = extract_hot_tiles_device(
+            pat, dev, ref_counts, n
+        )
+        assert counts.tolist() == ref_counts.tolist()
+        assert offs.tolist() == ref_offs.tolist() == [
+            10, TILE_ELEMS - 2, 2 * TILE_ELEMS + 50, n - 5
+        ]
+        assert vals.tolist() == ref_vals.tolist()
+
+    def test_no_hot_tiles(self):
+        import jax.numpy as jnp
+        from monkey_moore_tpu.dense import fused_count_extract
+
+        pat = compile_pattern("abcde")
+        arr, n = self._planted(pat, 2, [])
+        counts, offs, vals = fused_count_extract(pat, jnp.asarray(arr), n)
+        assert not counts.any() and len(offs) == 0 and len(vals) == 0
+
+    def test_overflow_falls_back_to_batched_gather(self):
+        # more hot tiles than k_cap → the batched-gather fallback must
+        # still return every match
+        import jax.numpy as jnp
+        from monkey_moore_tpu.dense import TILE_ELEMS, fused_count_extract
+
+        pat = compile_pattern("abcde")
+        plants = [t * TILE_ELEMS + 13 for t in range(6)]
+        arr, n = self._planted(pat, 6, plants)
+        counts, offs, vals = fused_count_extract(
+            pat, jnp.asarray(arr), n, k_cap=2
+        )
+        assert offs.tolist() == plants
+        assert int((counts > 0).sum()) == 6
+
+    def test_16bit_and_grid_offset(self):
+        import jax.numpy as jnp
+        from monkey_moore_tpu.dense import TILE_ELEMS, fused_count_extract
+
+        pat = compile_pattern("abcde", dtype=np.uint16)
+        arr, n = self._planted(pat, 2, [TILE_ELEMS + 9], dtype=np.uint16)
+        counts, offs, vals = fused_count_extract(
+            pat, jnp.asarray(arr), n, grid_offset=1000
+        )
+        assert offs.tolist() == [TILE_ELEMS + 9 + 1000]
+
+
+def n_plus(n_tiles):
+    from monkey_moore_tpu.dense import TILE_ELEMS
+
+    return n_tiles * TILE_ELEMS + 77
+
+
 def brute_force_prefilter(pat, data):
     """The device phase's mod-2^width prefilter semantics: a superset of
     brute_force_all (host extraction applies exact semantics afterwards)."""
