@@ -36,10 +36,13 @@ sys.path.insert(0, str(REPO))
 DATA_MB = int(os.environ.get("MMTPU_BENCH_MB", "8192"))
 WARMUP = int(os.environ.get("MMTPU_BENCH_WARMUP", "3"))
 ITERS = int(os.environ.get("MMTPU_BENCH_ITERS", "15"))
-# 64 KiB count tiles: the kernel auto-groups 32 of them per 2 MiB dispatch
-# block (full kernel rate) while any hot-tile extraction fetches only
-# 64 KiB + L - 1 bytes device->host
-TILE_ROWS = int(os.environ.get("MMTPU_BENCH_TILE_ROWS", "64"))
+# 8 KiB count tiles: the kernel auto-groups 256 of them per 2 MiB dispatch
+# block (full kernel rate) while any hot-tile gather ships only
+# 8 KiB + L - 1 bytes per hot tile over the slow relay D2H path
+TILE_ROWS = int(os.environ.get("MMTPU_BENCH_TILE_ROWS", "8"))
+# hot-tile gather capacity: each slot costs ~tile bytes of D2H when any
+# tile is hot (relay D2H ~25-45 MB/s), so keep the bench's capacity small
+K_CAP = int(os.environ.get("MMTPU_BENCH_KCAP", "4"))
 
 #: HBM read bandwidth by device kind, GB/s (v5e: 16 GiB HBM2E @ ~819 GB/s;
 #: v4: 32 GiB @ ~1228 GB/s; v5p ~2765; v6e ~1640).
@@ -112,11 +115,12 @@ def main():
 
     def step():
         # full production path: ONE fused dispatch computes tile counts AND
-        # gathers hot tiles; exact extraction runs on the fetched rows
-        counts, offs, vals = fused_count_extract(
-            pat, data, n, tile_elems=tile_elems
+        # gathers hot tiles; the host fetches the 2+2k-int header (plus the
+        # gathered rows when hot) and runs exact extraction on them
+        offs, vals, info = fused_count_extract(
+            pat, data, n, tile_elems=tile_elems, k_cap=K_CAP
         )
-        return counts
+        return info
 
     step()  # compile
     for _ in range(WARMUP):

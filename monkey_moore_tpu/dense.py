@@ -20,7 +20,7 @@ at large chunk sizes.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, NamedTuple, Tuple
 
 import numpy as np
 
@@ -37,6 +37,7 @@ __all__ = [
     "two_phase_candidates",
     "tile_counts",
     "fused_count_extract",
+    "FusedInfo",
     "extract_hot_tiles",
     "extract_hot_tiles_device",
     "TILE_ELEMS",
@@ -50,16 +51,33 @@ TILE_ELEMS = DEFAULT_TILE_ROWS * LANES  # 65536 elements per counted tile
 
 
 def _use_pallas_backend(use_pallas: bool, interpret: bool, tile_elems: int) -> bool:
-    if tile_elems % (32 * LANES) != 0:
-        return False  # Mosaic tiles are (rows, LANES) with rows % 32 == 0
-        # (int8 minimum sublane tile); smaller tiles → XLA
+    if tile_elems % (8 * LANES) != 0:
+        return False  # Mosaic tiles are (rows, LANES); 8 sublanes minimum
     if interpret:
-        return True
+        # interpret mode runs the element-dtype (native) kernel: int8 tiles
+        # need 32 sublanes
+        return tile_elems % (32 * LANES) == 0
     if not use_pallas:
         return False
-    from .ops.scan_pallas import pallas_available
+    from .ops.scan_pallas import pallas_available, pallas_compute_mode
 
-    return pallas_available()
+    if not pallas_available():
+        return False
+    if tile_elems % (32 * LANES) != 0:
+        # sub-32-sublane count tiles only lower for the int32-operand SWAR
+        # kernel (used for fine hot-tile gather granularity, cutting the
+        # relay's slow D2H per hot tile)
+        return pallas_compute_mode() == "swar"
+    return True
+
+
+def _prefilter_sel(pat):
+    """Selected prefilter checks + the max window shift among them (the
+    Pallas-eligibility bound)."""
+    from .ops.scan_jnp import prefilter_checks
+
+    pairs, exp = prefilter_checks(pat)
+    return pairs, exp, max((c for c, _ in pairs), default=0)
 
 
 def wants_packed(
@@ -72,10 +90,10 @@ def wants_packed(
     the packed little-endian i32 word layout (``swar_host_view`` /
     ``ResidentCorpus.grid_chunk(packed=True)``) so no separate packing pass
     runs before the scan."""
-    max_shift = int(pat.chk_shift_cur.max()) if len(pat.chk_shift_cur) else 0
+    pairs, _, max_shift = _prefilter_sel(pat)
     if not _use_pallas_backend(use_pallas, False, tile_elems):
         return False
-    if max_shift >= LANES or len(pat.chk_shift_cur) == 0:
+    if max_shift >= LANES or not pairs:
         return False
     from .ops.scan_pallas import pallas_compute_mode
 
@@ -100,7 +118,7 @@ def tile_counts(
     enable_persistent_cache()
     import jax.numpy as jnp
 
-    max_shift = int(pat.chk_shift_cur.max()) if len(pat.chk_shift_cur) else 0
+    pairs, exp_sel, max_shift = _prefilter_sel(pat)
     if _use_pallas_backend(use_pallas, interpret, tile_elems) and (
         max_shift < LANES
     ):
@@ -127,19 +145,15 @@ def tile_counts(
             interpret=interpret,
         )
     else:
-        from .ops.scan_jnp import prefilter_expected, tile_counts_xla
+        from .ops.scan_jnp import tile_counts_xla
 
         assert not (
             arr_device.dtype == np.int32 and np.dtype(pat.dtype) != np.int32
         ), "packed SWAR arrays require the Pallas backend (see wants_packed)"
-        pairs = tuple(
-            (int(c), int(p))
-            for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
-        )
         counts = tile_counts_xla(
             arr_device,
             jnp.int32(valid_count),
-            jnp.asarray(prefilter_expected(pat)),
+            jnp.asarray(exp_sel),
             pairs=pairs,
             length=pat.length,
             tile_elems=tile_elems,
@@ -174,6 +188,13 @@ _EMPTY = (
 )
 
 
+class FusedInfo(NamedTuple):
+    """Stats sidecar of :func:`fused_count_extract` (device-computed)."""
+
+    hot_tiles: int  #: tiles with a nonzero prefilter count
+    prefilter_total: int  #: sum of prefilter counts (int32 stats field)
+
+
 def fused_count_extract(
     pat: CompiledPattern,
     arr_device,
@@ -183,16 +204,17 @@ def fused_count_extract(
     tile_elems: int = TILE_ELEMS,
     grid_offset: int = 0,
     k_cap: int = 8,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, "FusedInfo"]:
     """Phases 1 + 2 for device-resident data in ONE device dispatch.
 
-    Returns ``(counts, offsets, values)``.  The jitted step computes per-tile
-    match counts AND gathers the rows of the first ``k_cap`` hot tiles, so a
-    chunk with matches costs one dispatch round-trip instead of two (the
-    relay's fixed ~28 ms dispatch cost dominates; see docs/PERF.md).  The
-    gathered rows transfer device→host only when the counts show hot tiles;
-    more than ``k_cap`` hot tiles falls back to the batched gather
-    (:func:`extract_hot_tiles_device`, one extra dispatch — rare).
+    Returns ``(offsets, values, info)``.  The jitted step computes per-tile
+    match counts, a hot-tile header, AND gathers the rows of the first
+    ``k_cap`` hot tiles; the host then transfers only the header (2+2k
+    ints) plus — when something is hot — the gathered rows.  On the relay
+    (fixed ~28 ms dispatch, ~25 MB/s D2H) this removes both the separate
+    extraction dispatch and the per-step counts-array transfer relative to
+    ``tile_counts`` + :func:`extract_hot_tiles_device`.  More than ``k_cap``
+    hot tiles falls back to that batched path (one extra dispatch — rare).
 
     TPU-native replacement for the reference's per-thread "scan then walk
     the block again" structure (``src/core/search_engine.cpp:107-168``).
@@ -201,11 +223,11 @@ def fused_count_extract(
 
     L = pat.length
     shifts = recovery_shifts(pat)
-    max_shift = int(pat.chk_shift_cur.max()) if len(pat.chk_shift_cur) else 0
+    pairs, exp_sel, max_shift = _prefilter_sel(pat)
     pallas_ok = _use_pallas_backend(use_pallas, interpret, tile_elems) and (
         max_shift < LANES
     )
-    if len(pat.chk_shift_cur) == 0:
+    if not pairs:
         # all-wildcard keywords match every window — every tile is hot, so
         # fusion buys nothing; use the two-dispatch path's host special-case
         counts = tile_counts(
@@ -215,7 +237,9 @@ def fused_count_extract(
         offs, vals = extract_hot_tiles_device(
             pat, arr_device, counts, valid_count, tile_elems, grid_offset
         )
-        return counts, offs, vals
+        return offs, vals, FusedInfo(
+            int((counts > 0).sum()), int(counts.sum())
+        )
 
     packed = arr_device.dtype == np.int32 and np.dtype(pat.dtype) != np.int32
     if pallas_ok:
@@ -228,7 +252,7 @@ def fused_count_extract(
             data2d = arr_device.reshape(-1, lanes32)
         else:
             data2d = arr_device.reshape(-1, LANES)
-        counts_dev, fetched_dev = tile_counts_gather_pallas(
+        counts_dev, packed_dev = tile_counts_gather_pallas(
             pat,
             data2d,
             valid_count,
@@ -237,7 +261,7 @@ def fused_count_extract(
             interpret=interpret,
         )
     else:
-        from .ops.scan_jnp import prefilter_expected, tile_counts_gather_xla
+        from .ops.scan_jnp import tile_counts_gather_xla
 
         assert not packed, (
             "packed SWAR arrays require the Pallas backend (see wants_packed)"
@@ -247,35 +271,40 @@ def fused_count_extract(
             if getattr(arr_device, "ndim", 1) == 2
             else arr_device
         )
-        pairs = tuple(
-            (int(c), int(p))
-            for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
-        )
-        counts_dev, fetched_dev = tile_counts_gather_xla(
+        counts_dev, packed_dev = tile_counts_gather_xla(
             flat,
             jnp.int32(valid_count),
-            jnp.asarray(prefilter_expected(pat)),
+            jnp.asarray(exp_sel),
             pairs=pairs,
             length=L,
             tile_elems=tile_elems,
             k_cap=k_cap,
             span=tile_elems + L - 1,
         )
-    counts = np.asarray(counts_dev)
-    hot = np.nonzero(counts)[0]
-    if len(hot) == 0:
-        return counts, *_EMPTY
-    if len(hot) > k_cap:
+    # ONE device→host transaction per step: [n_hot, total, hot_ids,
+    # hot_counts, rows...] — every extra transaction costs ~20-30 ms of
+    # relay latency regardless of size
+    combo = np.asarray(packed_dev)
+    n_hot, total = int(combo[0]), int(combo[1])
+    info = FusedInfo(n_hot, total)
+    if n_hot == 0:
+        return *_EMPTY, info
+    if n_hot > k_cap:
+        # overflow: fetch the full counts and run the batched gather
         offs, vals = extract_hot_tiles_device(
-            pat, arr_device, counts, valid_count, tile_elems, grid_offset
+            pat, arr_device, np.asarray(counts_dev), valid_count,
+            tile_elems, grid_offset,
         )
-        return counts, offs, vals
+        return offs, vals, info
 
-    fetched = np.asarray(fetched_dev)  # (k_cap, span_rows|span, row|1)
+    hot = combo[2 : 2 + n_hot]
+    rows = combo[2 + 2 * k_cap :].reshape(k_cap, -1)
     all_offsets, all_values = [], []
     for i, t in enumerate(hot.tolist()):
-        flat_i = fetched[i].reshape(-1)
-        elems = flat_i.view(pat.dtype) if packed else flat_i
+        flat_i = rows[i]
+        # packed rows are little-endian i32 words; element-dtype rows were
+        # widened to int32 for the single-buffer transfer
+        elems = flat_i.view(pat.dtype) if packed else flat_i.astype(pat.dtype)
         sl = elems[: tile_elems + L - 1]
         got = _positions_from_slice(
             pat, sl, tile_elems, t * tile_elems, valid_count, shifts
@@ -284,11 +313,11 @@ def fused_count_extract(
             all_offsets.append(got[0])
             all_values.append(got[1])
     if not all_offsets:
-        return counts, *_EMPTY
+        return *_EMPTY, info
     return (
-        counts,
         np.concatenate(all_offsets) + grid_offset,
         np.concatenate(all_values),
+        info,
     )
 
 

@@ -412,14 +412,16 @@ class SearchEngine:
                         )
                         # fused one-dispatch counts + hot-tile gather: a
                         # chunk with matches costs one relay round-trip
-                        # instead of two (counts, then extraction gather)
-                        counts, res_offs, res_vals = fused_count_extract(
+                        # instead of two (counts, then extraction gather),
+                        # and only the hot-tile header crosses D2H
+                        res_offs, res_vals, finfo = fused_count_extract(
                             pat,
                             dev_arr,
                             count_here,
                             use_pallas=cfg.use_pallas,
                             tile_elems=tile_elems,
                         )
+                    counts = None  # header replaces the counts transfer
                 else:
                     with timer.stage("decode"):
                         arr = self._decode_grid(data, a, e0, count_here)
@@ -435,8 +437,12 @@ class SearchEngine:
                         )
                 timer.stats.device_dispatches += 1
                 timer.stats.bytes_scanned += count_here * s
-                if counts.any():
-                    timer.stats.hot_tiles += int((counts > 0).sum())
+                if counts is None:
+                    hot_here = finfo.hot_tiles
+                else:
+                    hot_here = int((counts > 0).sum())
+                if hot_here:
+                    timer.stats.hot_tiles += hot_here
                     with timer.stage("host_extract"):
                         if resident is not None:
                             # already extracted by the fused dispatch

@@ -103,7 +103,7 @@ class MultiSearcher:
         import jax.numpy as jnp
 
         from .corpus import get_resident_corpus
-        from .ops.scan_jnp import prefilter_expected, tile_counts_multi_xla
+        from .ops.scan_jnp import tile_counts_multi_xla
 
         pats = [self._compile(s) for s in specs]
         if not self.file_path.exists():
@@ -134,36 +134,53 @@ class MultiSearcher:
         # canonical shape: identical static pairs + traced active masks mean
         # every batch of K plain keywords shares one executable regardless of
         # the keywords or their lengths.
-        raw_pairs = [
-            [
-                (int(c), int(p))
+        from .ops.scan_jnp import prefilter_check_indices, prefilter_expected
+
+        sel_idx = [prefilter_check_indices(pat) for pat in pats]
+        full_exp = [prefilter_expected(pat) for pat in pats]
+        full_simple = [
+            len(pat.chk_shift_cur) > 0
+            and all(
+                int(c) == int(p) + 1
                 for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
-            ]
+            )
             for pat in pats
         ]
-        raw_exp = [prefilter_expected(pat) for pat in pats]
-        raw_active = [np.ones(len(p), dtype=bool) for p in raw_pairs]
-        simple = [
-            bool(prs) and all(c == p + 1 for c, p in prs)
-            for prs in raw_pairs
-        ]
+        # canonical width: smallest pow2 (>=4) covering every simple
+        # pattern's highest selected check position, so batches with any
+        # mix of short keywords land on the same executable
         c_max = max(
-            (len(p) for p, is_s in zip(raw_pairs, simple) if is_s), default=0
+            (
+                int(idx[-1]) + 1
+                for idx, is_s in zip(sel_idx, full_simple)
+                if is_s and len(idx)
+            ),
+            default=0,
         )
-        # bucket the canonical width (pow2, >=8) so batches with any mix of
-        # short keywords land on the same executable
         if c_max:
-            c_max = max(8, 1 << (c_max - 1).bit_length())
-        for i, pat in enumerate(pats):
-            if simple[i] and len(raw_pairs[i]) < c_max:
-                pad = c_max - len(raw_pairs[i])
-                raw_pairs[i] = [(k + 1, k) for k in range(c_max)]
-                raw_exp[i] = np.concatenate(
-                    [raw_exp[i], np.zeros(pad, dtype=raw_exp[i].dtype)]
+            c_max = max(4, 1 << (c_max - 1).bit_length())
+        raw_pairs, raw_exp, raw_active = [], [], []
+        for pat, idx, fexp, is_s in zip(pats, sel_idx, full_exp, full_simple):
+            if is_s:
+                # canonical adjacent-pair table with the SELECTED prefilter
+                # checks active at their own positions (check j = pair
+                # (j+1, j)); unselected/pad positions are inactive
+                exp = np.zeros(c_max, dtype=fexp.dtype)
+                act = np.zeros(c_max, dtype=bool)
+                exp[idx] = fexp[idx]
+                act[idx] = True
+                raw_pairs.append([(k + 1, k) for k in range(c_max)])
+                raw_exp.append(exp)
+                raw_active.append(act)
+            else:
+                raw_pairs.append(
+                    [
+                        (int(pat.chk_shift_cur[j]), int(pat.chk_shift_prev[j]))
+                        for j in idx
+                    ]
                 )
-                raw_active[i] = np.concatenate(
-                    [raw_active[i], np.zeros(pad, dtype=bool)]
-                )
+                raw_exp.append(fexp[idx])
+                raw_active.append(np.ones(len(idx), dtype=bool))
         pair_sets = tuple(tuple(prs) for prs in raw_pairs)
         lengths_arr = jnp.asarray(
             [pat.length for pat in pats], dtype=jnp.int32

@@ -152,6 +152,64 @@ def prefilter_expected(pat) -> np.ndarray:
     )
 
 
+#: Pallas kernels shift within one (sublanes, 128)-element row; checks whose
+#: window shift stays under this keep the pattern Pallas-eligible.
+_ROW_ELEMS = 128
+
+
+def prefilter_cap(dtype) -> int:
+    """Default number of checks the device prefilter evaluates (see
+    :func:`prefilter_checks`); ``MMTPU_PREFILTER_CHECKS`` overrides
+    (0 = evaluate every check)."""
+    import os
+
+    env = os.environ.get("MMTPU_PREFILTER_CHECKS")
+    if env is not None:
+        v = int(env)
+        return v if v > 0 else 1 << 30
+    return 4 if np.dtype(dtype).itemsize == 1 else 2
+
+
+def prefilter_checks(pat, cap: int | None = None):
+    """Check subset the device prefilter evaluates: ``(pairs, expected)``.
+
+    Any subset of a pattern's checks is a valid prefilter — phase 1 may
+    overcount but never undercounts, and host extraction re-applies every
+    check exactly — so at most ``cap`` checks run on device, making kernel
+    compute O(cap) instead of O(keyword length).  The default cap (4 for
+    8-bit, 2 for 16-bit elements) keeps random-data false positives
+    negligible: FP rate per window is ~(2^-width)^cap → ~2 spurious 64 KiB
+    hot tiles per 8 GiB scanned at u8/cap=4, while every true match always
+    passes.  Selection prefers checks with nonzero expected diffs (zero
+    diffs also match the zero-filled runs that dominate real ROM images)
+    and sub-row shifts (keeps long/wildcard-heavy keywords eligible for the
+    Pallas kernels' one-row shift bound); the selected checks keep their
+    original order so adjacent-pair (simple-mode) structure survives.
+    """
+    keep = prefilter_check_indices(pat, cap)
+    cur = pat.chk_shift_cur[keep]
+    prev = pat.chk_shift_prev[keep]
+    exp = prefilter_expected(pat)[keep]
+    pairs = tuple((int(c), int(p)) for c, p in zip(cur, prev))
+    return pairs, exp
+
+
+def prefilter_check_indices(pat, cap: int | None = None) -> np.ndarray:
+    """Indices (ascending) of the checks :func:`prefilter_checks` selects."""
+    cur = pat.chk_shift_cur
+    exp = prefilter_expected(pat)
+    if cap is None:
+        cap = prefilter_cap(pat.dtype)
+    n = len(cur)
+    if n <= cap:
+        return np.arange(n)
+    order = sorted(
+        range(n),
+        key=lambda i: (exp[i] == 0, int(cur[i]) >= _ROW_ELEMS, i),
+    )
+    return np.asarray(sorted(order[:cap]))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("pairs", "length", "tile_elems"),
@@ -233,9 +291,12 @@ def tile_counts_gather_xla(
     k_cap: int,
     span: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused :func:`tile_counts_xla` + device gather of the first ``k_cap``
-    hot tiles (``span = tile_elems + L - 1`` elements each) in ONE dispatch —
-    the XLA twin of ``scan_pallas.tile_counts_gather_pallas``.
+    """Fused :func:`tile_counts_xla` + single-buffer hot-tile header/gather
+    of the first ``k_cap`` hot tiles (``span = tile_elems + L - 1`` elements
+    each) in ONE dispatch — the XLA twin of
+    ``scan_pallas.tile_counts_gather_pallas``; returns ``(counts, packed)``
+    with the same contract (packed = ``[n_hot, total, hot_ids, hot_counts,
+    rows...]`` as int32).
 
     Element-index gather: requires ``data.shape[0] < 2**31`` (chunked engine
     paths; huge resident corpora use the Pallas row gather instead).  Padded
@@ -245,13 +306,22 @@ def tile_counts_gather_xla(
         data, valid_count, expected_ty, pairs, length, tile_elems
     )
     hot = jnp.nonzero(counts, size=k_cap, fill_value=0)[0].astype(jnp.int32)
+    nhot = jnp.sum((counts > 0).astype(jnp.int32))
     idx = jnp.clip(
         hot[:, None] * jnp.int32(tile_elems)
         + jnp.arange(span, dtype=jnp.int32)[None, :],
         0,
         data.shape[0] - 1,
     )
-    return counts, data[idx]
+    packed = jnp.concatenate(
+        [
+            jnp.stack([nhot, jnp.sum(counts)]),
+            hot,
+            counts[hot],
+            data[idx].astype(jnp.int32).reshape(-1),
+        ]
+    )
+    return counts, packed
 
 
 @functools.partial(

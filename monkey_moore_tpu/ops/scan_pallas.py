@@ -529,7 +529,7 @@ def swar_dispatch_args(
     fitting the 16 MiB scoped-VMEM budget with the kernel's shifted/diff
     intermediates.
     """
-    from .scan_jnp import prefilter_expected
+    from .scan_jnp import prefilter_checks
 
     width = np.dtype(pat.dtype).itemsize
     block_rows, fine_per_block = tile_rows, 1
@@ -547,16 +547,13 @@ def swar_dispatch_args(
     valid = jnp.asarray(
         [lim // block_elems, lim % block_elems], dtype=jnp.int32
     )
+    pairs, exp_sel = prefilter_checks(pat)
     # expected values pre-splatted across the i32 word on host, so the
     # kernel's per-check compare is a single scalar-broadcast xor
     ones_pat = 0x01010101 if width == 1 else 0x00010001
-    exp_ty = prefilter_expected(pat).astype(np.uint64)
+    exp_ty = exp_sel.astype(np.uint64)
     splat = (exp_ty * ones_pat) & 0xFFFFFFFF
     expected_splat = jnp.asarray(splat.astype(np.uint32).view(np.int32))
-    pairs = tuple(
-        (int(c), int(p))
-        for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
-    )
     static = dict(
         pairs=pairs,
         length=pat.length,
@@ -568,21 +565,44 @@ def swar_dispatch_args(
 
 
 def _hot_row_gather(data2d, counts, k_cap, rows_per_tile, rows_span):
-    """Device-side gather of the first ``k_cap`` hot tiles' rows.
+    """Device-side hot-tile summary + gather of the first ``k_cap`` hot
+    tiles' rows, packed into ONE flat int32 buffer:
+
+        ``[n_hot, total_count, hot_ids[k], hot_counts[k], rows...]``
+
+    One buffer because every device→host transaction on the relay pays
+    ~20-30 ms of latency regardless of size — fetching a header and the
+    rows separately (or the full per-tile counts array, 4 MB at 8 GiB /
+    8 KiB tiles) costs more than the scan itself; the packed buffer is a
+    single small fetch (see docs/PERF.md).
 
     Row-index arithmetic (not element-index) keeps the indices within int32
     even for >2^31-element corpora: an 8 GiB u8 corpus has 2^33 elements but
-    only 2^26 rows.  Padded slots (fewer than k_cap hot tiles) duplicate
-    tile 0; the host ignores them.
+    only 2^23 rows.  Padded slots (fewer than k_cap hot tiles) duplicate
+    tile 0; the host ignores them.  ``total_count`` is an int32 stats field
+    (may wrap past 2^31 prefilter hits; offsets/extraction never use it).
+    Element-dtype (non-packed) rows are widened to int32 for the concat —
+    only the SWAR toolchain path is performance-critical and its rows are
+    already int32 words.
     """
     hot = jnp.nonzero(counts, size=k_cap, fill_value=0)[0].astype(jnp.int32)
+    nhot = jnp.sum((counts > 0).astype(jnp.int32))
+    total = jnp.sum(counts)
     idx = jnp.clip(
         hot[:, None] * jnp.int32(rows_per_tile)
         + jnp.arange(rows_span, dtype=jnp.int32)[None, :],
         0,
         data2d.shape[0] - 1,
     )
-    return data2d[idx]
+    fetched = data2d[idx]
+    return jnp.concatenate(
+        [
+            jnp.stack([nhot, total]),
+            hot,
+            counts[hot],
+            fetched.astype(jnp.int32).reshape(-1),
+        ]
+    )
 
 
 @functools.partial(
@@ -637,14 +657,16 @@ def tile_counts_gather_pallas(
 ):
     """Fused phase 1 + phase 2 gather in ONE device dispatch.
 
-    Returns device arrays ``(counts, fetched)``: int32[T] per-tile match
-    counts plus ``fetched[k_cap, rows_span, lanes]`` — the rows of the first
-    ``k_cap`` hot tiles (each covering ``tile_elems + L - 1`` elements from
-    its tile start).  On a dispatch-latency-dominated link (the axon relay
-    costs ~28 ms per round trip) this halves the per-step cost whenever a
-    chunk has matches: the separate ``extract_hot_tiles_device`` gather
-    dispatch disappears.  Callers check ``counts`` on host; if more than
-    ``k_cap`` tiles are hot they fall back to the batched gather
+    Returns device arrays ``(counts, packed)``: int32[T] per-tile match
+    counts (left on device — fetched only for the overflow fallback) and
+    the single packed hot-tile buffer (see :func:`_hot_row_gather`) whose
+    row slots each cover ``tile_elems + L - 1`` elements from a hot tile's
+    start.  On a dispatch-latency-dominated link (the axon relay costs
+    ~28 ms per round trip plus ~20-30 ms per D2H transaction) this removes
+    the separate ``extract_hot_tiles_device`` gather dispatch, the per-step
+    counts-array transfer, AND the second fetch transaction: every step
+    fetches exactly one small buffer.  If more than ``k_cap`` tiles are
+    hot, callers fetch ``counts`` and fall back to the batched gather
     (``dense.extract_hot_tiles_device``).
 
     Same tiling/halo contract as :func:`tile_counts_pallas`.
@@ -679,13 +701,10 @@ def tile_counts_gather_pallas(
             rows_span=rows_span,
             **static,
         )
-    from .scan_jnp import prefilter_expected
+    from .scan_jnp import prefilter_checks
 
-    pairs = tuple(
-        (int(c), int(p))
-        for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
-    )
-    expected = jnp.asarray(prefilter_expected(pat).astype(np.int32))
+    pairs, exp_sel = prefilter_checks(pat)
+    expected = jnp.asarray(exp_sel.astype(np.int32))
     tile_elems = tile_rows * lanes
     lim = valid_count - L
     valid = jnp.asarray(
@@ -721,10 +740,9 @@ def tile_counts_pallas(
     int32[T] where tile t covers element positions
     [t*tile_rows*LANES, (t+1)*tile_rows*LANES).
     """
-    pairs = tuple(
-        (int(c), int(p))
-        for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
-    )
+    from .scan_jnp import prefilter_checks
+
+    pairs, exp_sel = prefilter_checks(pat)
     rows, lanes = data2d.shape
     num_tiles = rows // tile_rows - 1
     packed = data2d.dtype == jnp.int32 and np.dtype(pat.dtype) != np.int32
@@ -739,9 +757,7 @@ def tile_counts_pallas(
         last_valid = valid_count - pat.length  # inclusive
         counts = np.clip(last_valid + 1 - starts, 0, tile_elems)
         return jnp.asarray(counts.astype(np.int32))
-    from .scan_jnp import prefilter_expected
-
-    expected = jnp.asarray(prefilter_expected(pat).astype(np.int32))
+    expected = jnp.asarray(exp_sel.astype(np.int32))
     lim = valid_count - pat.length
     if mode is None:
         mode = (pallas_compute_mode() or "native") if not interpret else "native"

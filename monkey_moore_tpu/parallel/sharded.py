@@ -177,7 +177,7 @@ def sharded_tile_counts(
     d = mesh.shape[DATA_AXIS]
     shard = dev.shape[0] // d
 
-    from ..ops.scan_jnp import prefilter_expected
+    from ..ops.scan_jnp import prefilter_checks
     from jax.sharding import NamedSharding
 
     bases = np.arange(d, dtype=np.int64) * shard
@@ -187,12 +187,9 @@ def sharded_tile_counts(
     valid_dev = jax.device_put(
         valid_local, NamedSharding(mesh, P(DATA_AXIS))
     )
-    pairs = tuple(
-        (int(c), int(p))
-        for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
-    )
+    pairs, exp_sel = prefilter_checks(pat)
     fn = _cached_counts_fn(mesh, pairs, pat.length, tile_elems)
-    counts = fn(dev, valid_dev, jnp.asarray(prefilter_expected(pat)))
+    counts = fn(dev, valid_dev, jnp.asarray(exp_sel))
     return np.asarray(counts).reshape(-1)[:t_total]
 
 

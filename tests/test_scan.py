@@ -303,7 +303,7 @@ class TestFusedCountExtract:
         dev = jnp.asarray(
             swar_host_view(arr) if backend == "packed-interpret" else arr
         )
-        counts, offs, vals = fused_count_extract(
+        offs, vals, info = fused_count_extract(
             pat, dev, n, use_pallas=use_pallas, interpret=interpret
         )
         ref_counts = tile_counts(
@@ -313,7 +313,8 @@ class TestFusedCountExtract:
         ref_offs, ref_vals = extract_hot_tiles_device(
             pat, dev, ref_counts, n
         )
-        assert counts.tolist() == ref_counts.tolist()
+        assert info.hot_tiles == int((ref_counts > 0).sum())
+        assert info.prefilter_total == int(ref_counts.sum())
         assert offs.tolist() == ref_offs.tolist() == [
             10, TILE_ELEMS - 2, 2 * TILE_ELEMS + 50, n - 5
         ]
@@ -325,8 +326,8 @@ class TestFusedCountExtract:
 
         pat = compile_pattern("abcde")
         arr, n = self._planted(pat, 2, [])
-        counts, offs, vals = fused_count_extract(pat, jnp.asarray(arr), n)
-        assert not counts.any() and len(offs) == 0 and len(vals) == 0
+        offs, vals, info = fused_count_extract(pat, jnp.asarray(arr), n)
+        assert info.hot_tiles == 0 and len(offs) == 0 and len(vals) == 0
 
     def test_overflow_falls_back_to_batched_gather(self):
         # more hot tiles than k_cap → the batched-gather fallback must
@@ -337,11 +338,11 @@ class TestFusedCountExtract:
         pat = compile_pattern("abcde")
         plants = [t * TILE_ELEMS + 13 for t in range(6)]
         arr, n = self._planted(pat, 6, plants)
-        counts, offs, vals = fused_count_extract(
+        offs, vals, info = fused_count_extract(
             pat, jnp.asarray(arr), n, k_cap=2
         )
         assert offs.tolist() == plants
-        assert int((counts > 0).sum()) == 6
+        assert info.hot_tiles == 6
 
     def test_16bit_and_grid_offset(self):
         import jax.numpy as jnp
@@ -349,7 +350,7 @@ class TestFusedCountExtract:
 
         pat = compile_pattern("abcde", dtype=np.uint16)
         arr, n = self._planted(pat, 2, [TILE_ELEMS + 9], dtype=np.uint16)
-        counts, offs, vals = fused_count_extract(
+        offs, vals, info = fused_count_extract(
             pat, jnp.asarray(arr), n, grid_offset=1000
         )
         assert offs.tolist() == [TILE_ELEMS + 9 + 1000]
@@ -362,21 +363,87 @@ def n_plus(n_tiles):
 
 
 def brute_force_prefilter(pat, data):
-    """The device phase's mod-2^width prefilter semantics: a superset of
-    brute_force_all (host extraction applies exact semantics afterwards)."""
+    """The device phase's mod-2^width prefilter semantics over the SELECTED
+    check subset (prefilter_checks): a superset of brute_force_all (host
+    extraction applies exact semantics over every check afterwards)."""
+    from monkey_moore_tpu.ops.scan_jnp import prefilter_checks
+
     data = np.asarray(data, dtype=pat.dtype)
     N, L = len(data), pat.length
-    exp_ty = pat.chk_expected.astype(np.int64).astype(pat.dtype)
+    pairs, exp_ty = prefilter_checks(pat)
     out = []
     for p in range(N - L + 1):
         ok = True
-        for cur, prev, e in zip(pat.chk_shift_cur, pat.chk_shift_prev, exp_ty):
+        for (cur, prev), e in zip(pairs, exp_ty):
             if (int(data[p + cur]) - int(data[p + prev])) & pat.tmax != e:
                 ok = False
                 break
         if ok:
             out.append(p)
     return out
+
+
+class TestPrefilterCapping:
+    """The device prefilter evaluates at most prefilter_cap(dtype) checks
+    (4 for u8, 2 for u16) — any subset is a valid prefilter since host
+    extraction re-applies every check exactly."""
+
+    def test_selection_caps_and_prefers_nonzero_diffs(self):
+        from monkey_moore_tpu.ops.scan_jnp import (
+            prefilter_check_indices,
+            prefilter_checks,
+        )
+
+        pat = compile_pattern("aabcdefgh")  # check 0 expects diff 0
+        pairs, exp = prefilter_checks(pat)
+        assert len(pairs) == 4
+        assert all(int(e) != 0 for e in exp)
+        assert 0 not in prefilter_check_indices(pat).tolist()
+        # short keywords keep every check
+        assert len(prefilter_checks(compile_pattern("abcde"))[0]) == 4
+        # 16-bit cap is 2
+        assert (
+            len(prefilter_checks(compile_pattern("abcde", dtype=np.uint16))[0])
+            == 2
+        )
+
+    def test_long_keyword_exact_through_capped_prefilter(self):
+        text = "zzzz...abcdefghijkl...zzzz"
+        data = shift_alpha([ord(c) for c in text], 5, 5)
+        pat = compile_pattern("abcdefghijkl")
+        res = dense_search(pat, data, MatchSemantics.ALL)
+        assert [r[0] for r in res] == brute_force_all(pat, data) == [7]
+
+    def test_prefilter_false_positives_filtered_exactly(self):
+        # ramp passes the 4 selected checks (diffs 1,1,1,1) but breaks at
+        # check 5 — the prefilter overcounts, exact extraction filters it
+        data = np.array(
+            [10, 11, 12, 13, 14, 99, 0, 0, 0, 0], dtype=np.uint8
+        )
+        pat = compile_pattern("abcdefgh")
+        assert 0 in brute_force_prefilter(pat, data)
+        offsets, _ = dense_candidates(pat, data)
+        assert offsets.tolist() == brute_force_all(pat, data) == []
+
+    def test_capped_counts_interpret_match_brute_force(self):
+        import jax.numpy as jnp
+        from monkey_moore_tpu.dense import TILE_ELEMS, tile_counts
+
+        text = "..abcdefghij..xxabcdefghij.."
+        data = shift_alpha([ord(c) for c in text], 9, 9)
+        pat = compile_pattern("abcdefghij")
+        arr = np.zeros(2 * TILE_ELEMS, dtype=np.uint8)
+        arr[: len(data)] = data
+        counts = tile_counts(
+            pat, jnp.asarray(arr), len(data), interpret=True,
+            tile_elems=TILE_ELEMS,
+        )
+        # interior windows of each planted ramp also pass the capped
+        # (first-4-diffs) prefilter — compare against the brute-force
+        # prefilter, and sanity-check it strictly overcounts the exact set
+        want = brute_force_prefilter(pat, data)
+        assert int(counts[0]) == len(want)
+        assert len(want) > len(brute_force_all(pat, data)) == 2
 
 
 class TestPallasKernelInterpret:
@@ -471,11 +538,14 @@ class TestPallasKernelInterpret:
         got = tile_counts_pallas(
             pat, data2d, n, tile_rows=tile_rows, interpret=True, mode="swar"
         )
+        from monkey_moore_tpu.ops.scan_jnp import prefilter_checks
+
+        sel_pairs, sel_exp = prefilter_checks(pat)
         want = tile_counts_xla(
             jnp.asarray(arr),
             jnp.int32(n),
-            jnp.asarray(prefilter_expected(pat)),
-            pairs=((1, 0), (2, 1), (3, 2), (4, 3)),
+            jnp.asarray(sel_exp),
+            pairs=sel_pairs,
             length=5,
             tile_elems=tile_elems,
         )
