@@ -161,27 +161,6 @@ def tile_counts(
     return np.asarray(counts)
 
 
-def _positions_from_slice(pat, sl, tile_elems, s0, valid_count, shifts):
-    """Exact offsets + recovery values from one hot tile's element slice.
-
-    ``sl`` covers ``tile_elems + L - 1`` elements from tile start ``s0``
-    (element index); trimmed here to the valid element count.
-    """
-    sl = sl[: max(0, valid_count - s0)]
-    pos = match_positions_np(pat, sl)
-    pos = pos[pos < tile_elems]
-    if not len(pos):
-        return None
-    v0 = sl[np.minimum(pos + shifts[0], len(sl) - 1)].astype(np.int64)
-    v1 = sl[
-        np.minimum(
-            pos + (shifts[1] if len(shifts) > 1 else shifts[0]),
-            len(sl) - 1,
-        )
-    ].astype(np.int64)
-    return pos + s0, np.stack([v0, v1], axis=1)
-
-
 _EMPTY = (
     np.zeros(0, dtype=np.int64),
     np.zeros((0, 2), dtype=np.int64),
@@ -203,18 +182,24 @@ def fused_count_extract(
     interpret: bool = False,
     tile_elems: int = TILE_ELEMS,
     grid_offset: int = 0,
-    k_cap: int = 8,
+    k_cap: int | None = None,
+    p_cap: int = 1024,
 ) -> Tuple[np.ndarray, np.ndarray, "FusedInfo"]:
     """Phases 1 + 2 for device-resident data in ONE device dispatch.
 
     Returns ``(offsets, values, info)``.  The jitted step computes per-tile
-    match counts, a hot-tile header, AND gathers the rows of the first
-    ``k_cap`` hot tiles; the host then transfers only the header (2+2k
-    ints) plus — when something is hot — the gathered rows.  On the relay
-    (fixed ~28 ms dispatch, ~25 MB/s D2H) this removes both the separate
-    extraction dispatch and the per-step counts-array transfer relative to
-    ``tile_counts`` + :func:`extract_hot_tiles_device`.  More than ``k_cap``
-    hot tiles falls back to that batched path (one extra dispatch — rare).
+    prefilter counts, gathers the first ``k_cap`` hot tiles, re-evaluates
+    them with the FULL exact check tables on device (``scan_jnp.
+    exact_phase2`` — prefilter false positives never reach the host), and
+    packs the hot-tile header + exact candidate offsets + recovery values
+    into one int32 buffer: the step's single D2H transaction.  On the relay
+    (fixed ~28 ms dispatch, ~20-30 ms per D2H transaction) this removes the
+    separate extraction dispatch, the counts-array transfer, and any
+    per-hot-tile data transfer relative to ``tile_counts`` +
+    :func:`extract_hot_tiles_device`.  ``k_cap`` auto-sizes from the
+    expected prefilter false-positive rate (capped checks admit ~2^-8c of
+    random windows); overflowing ``k_cap`` tiles or ``p_cap`` candidates
+    falls back to the batched path (one extra dispatch — rare).
 
     TPU-native replacement for the reference's per-thread "scan then walk
     the block again" structure (``src/core/search_engine.cpp:107-168``).
@@ -222,11 +207,17 @@ def fused_count_extract(
     import jax.numpy as jnp
 
     L = pat.length
-    shifts = recovery_shifts(pat)
     pairs, exp_sel, max_shift = _prefilter_sel(pat)
     pallas_ok = _use_pallas_backend(use_pallas, interpret, tile_elems) and (
         max_shift < LANES
     )
+    if k_cap is None:
+        # expected prefilter-FP positions on random data, with 2x + slack
+        # headroom; hot tiles <= positions.  The gather stays device-side,
+        # so a large cap costs HBM reads, not D2H bytes.
+        bits = 8 * np.dtype(pat.dtype).itemsize
+        exp_fp = valid_count * (2.0 ** (-bits * max(1, len(pairs))))
+        k_cap = int(min(2048, 1 << int(2 * exp_fp + 16).bit_length()))
     if not pairs:
         # all-wildcard keywords match every window — every tile is hot, so
         # fusion buys nothing; use the two-dispatch path's host special-case
@@ -252,12 +243,13 @@ def fused_count_extract(
             data2d = arr_device.reshape(-1, lanes32)
         else:
             data2d = arr_device.reshape(-1, LANES)
-        counts_dev, packed_dev = tile_counts_gather_pallas(
+        counts_dev, combo_dev = tile_counts_gather_pallas(
             pat,
             data2d,
             valid_count,
             tile_rows=tile_elems // LANES,
             k_cap=k_cap,
+            p_cap=p_cap,
             interpret=interpret,
         )
     else:
@@ -271,54 +263,58 @@ def fused_count_extract(
             if getattr(arr_device, "ndim", 1) == 2
             else arr_device
         )
-        counts_dev, packed_dev = tile_counts_gather_xla(
+        from .ops.scan_jnp import pattern_device_args
+
+        sc, sp, exp_exact, recovery = pattern_device_args(pat)
+        vtvr = jnp.asarray(
+            [valid_count // tile_elems, valid_count % tile_elems],
+            dtype=jnp.int32,
+        )
+        counts_dev, combo_dev = tile_counts_gather_xla(
             flat,
             jnp.int32(valid_count),
             jnp.asarray(exp_sel),
+            vtvr,
+            sc,
+            sp,
+            exp_exact,
+            recovery,
             pairs=pairs,
             length=L,
             tile_elems=tile_elems,
             k_cap=k_cap,
             span=tile_elems + L - 1,
+            p_cap=p_cap,
+            signed_compare=pat.signed_compare,
         )
-    # ONE device→host transaction per step: [n_hot, total, hot_ids,
-    # hot_counts, rows...] — every extra transaction costs ~20-30 ms of
-    # relay latency regardless of size
-    combo = np.asarray(packed_dev)
-    n_hot, total = int(combo[0]), int(combo[1])
+    # ONE device→host transaction per step: [n_hot, total, n_cand,
+    # hot_ids, hot_counts, flat_idx, v0, v1] — every extra transaction
+    # costs ~20-30 ms of relay latency regardless of size
+    combo = np.asarray(combo_dev)
+    n_hot, total, n_cand = int(combo[0]), int(combo[1]), int(combo[2])
     info = FusedInfo(n_hot, total)
     if n_hot == 0:
         return *_EMPTY, info
-    if n_hot > k_cap:
-        # overflow: fetch the full counts and run the batched gather
+    if n_hot > k_cap or n_cand > p_cap:
+        # capacity overflow: fetch the full counts and run the batched
+        # gather + host extraction
         offs, vals = extract_hot_tiles_device(
             pat, arr_device, np.asarray(counts_dev), valid_count,
             tile_elems, grid_offset,
         )
         return offs, vals, info
-
-    hot = combo[2 : 2 + n_hot]
-    rows = combo[2 + 2 * k_cap :].reshape(k_cap, -1)
-    all_offsets, all_values = [], []
-    for i, t in enumerate(hot.tolist()):
-        flat_i = rows[i]
-        # packed rows are little-endian i32 words; element-dtype rows were
-        # widened to int32 for the single-buffer transfer
-        elems = flat_i.view(pat.dtype) if packed else flat_i.astype(pat.dtype)
-        sl = elems[: tile_elems + L - 1]
-        got = _positions_from_slice(
-            pat, sl, tile_elems, t * tile_elems, valid_count, shifts
-        )
-        if got is not None:
-            all_offsets.append(got[0])
-            all_values.append(got[1])
-    if not all_offsets:
+    if n_cand == 0:
         return *_EMPTY, info
-    return (
-        np.concatenate(all_offsets) + grid_offset,
-        np.concatenate(all_values),
-        info,
-    )
+
+    hot = combo[3 : 3 + k_cap].astype(np.int64)
+    base = 3 + 2 * k_cap
+    flat_idx = combo[base : base + p_cap][:n_cand].astype(np.int64)
+    v0 = combo[base + p_cap : base + 2 * p_cap][:n_cand]
+    v1 = combo[base + 2 * p_cap : base + 3 * p_cap][:n_cand]
+    slot, rel = flat_idx // tile_elems, flat_idx % tile_elems
+    offsets = hot[slot] * tile_elems + rel + grid_offset
+    values = np.stack([v0, v1], axis=1).astype(np.int64)
+    return offsets, values, info
 
 
 def two_phase_candidates(

@@ -276,31 +276,92 @@ def _count_body(
     return jnp.sum(ok.astype(jnp.int32).reshape(-1, tile_elems), axis=1)
 
 
+def exact_phase2(
+    slots: jnp.ndarray,
+    hot: jnp.ndarray,
+    nhot: jnp.ndarray,
+    vt2: jnp.ndarray,
+    vr2: jnp.ndarray,
+    *,
+    tile_elems: int,
+    length: int,
+    shift_cur: jnp.ndarray,
+    shift_prev: jnp.ndarray,
+    expected: jnp.ndarray,
+    signed_compare: bool,
+    recovery: jnp.ndarray,
+    p_cap: int,
+):
+    """Device-side EXACT phase 2 over gathered hot-tile slots.
+
+    ``slots`` is ``(K, span)`` element-dtype data, slot i covering tile
+    ``hot[i]``'s ``tile_elems + L - 1`` elements; ``vt2/vr2`` encode the
+    valid element count as ``vt2 * tile_elems + vr2`` (int32-safe past 2^31
+    elements).  Runs the full exact check tables (:func:`match_bitmap` —
+    all checks, signed semantics; NOT the capped mod-2^width prefilter) on
+    every slot, so prefilter false positives die on device and only true
+    candidates cross to the host.  Returns ``(n_cand, flat_idx[p_cap],
+    v0[p_cap], v1[p_cap])`` where ``flat_idx = slot * tile_elems + rel``
+    ascending (slot-major) and v0/v1 are the recovery values.
+
+    Slots past ``nhot`` duplicate tile 0 (nonzero padding); their valid
+    count is forced to 0 so they contribute no candidates.
+    """
+    K, span = slots.shape
+    dt = jnp.clip(vt2 - hot, -1, 2)
+    valid_slot = jnp.clip(dt * jnp.int32(tile_elems) + vr2, 0, span)
+    valid_slot = jnp.where(
+        jnp.arange(K, dtype=jnp.int32) < nhot, valid_slot, 0
+    )
+    bitmap = jax.vmap(
+        lambda d, v: match_bitmap(
+            d, v, length, shift_cur, shift_prev, expected, signed_compare
+        )
+    )(slots, valid_slot)  # (K, tile_elems): positions = span - L + 1
+    flat = bitmap.reshape(-1)
+    n_cand = jnp.sum(flat, dtype=jnp.int32)
+    idx = jnp.nonzero(flat, size=p_cap, fill_value=0)[0].astype(jnp.int32)
+    slot = idx // jnp.int32(tile_elems)
+    rel = idx % jnp.int32(tile_elems)
+    lim = jnp.maximum(valid_slot[slot] - 1, 0)
+    v0 = slots[slot, jnp.clip(rel + recovery[0], 0, lim)].astype(jnp.int32)
+    v1 = slots[slot, jnp.clip(rel + recovery[1], 0, lim)].astype(jnp.int32)
+    return n_cand, idx, v0, v1
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("pairs", "length", "tile_elems", "k_cap", "span"),
+    static_argnames=(
+        "pairs", "length", "tile_elems", "k_cap", "span", "p_cap",
+        "signed_compare",
+    ),
 )
 def tile_counts_gather_xla(
     data: jnp.ndarray,
     valid_count: jnp.ndarray,
     expected_ty: jnp.ndarray,
+    vtvr: jnp.ndarray,
+    shift_cur: jnp.ndarray,
+    shift_prev: jnp.ndarray,
+    expected_exact: jnp.ndarray,
+    recovery: jnp.ndarray,
     *,
     pairs: tuple,
     length: int,
     tile_elems: int,
     k_cap: int,
     span: int,
+    p_cap: int,
+    signed_compare: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused :func:`tile_counts_xla` + single-buffer hot-tile header/gather
-    of the first ``k_cap`` hot tiles (``span = tile_elems + L - 1`` elements
-    each) in ONE dispatch — the XLA twin of
-    ``scan_pallas.tile_counts_gather_pallas``; returns ``(counts, packed)``
-    with the same contract (packed = ``[n_hot, total, hot_ids, hot_counts,
-    rows...]`` as int32).
+    """Fused :func:`tile_counts_xla` + hot-tile gather + on-device EXACT
+    extraction (:func:`exact_phase2`) in ONE dispatch — the XLA twin of
+    ``scan_pallas.tile_counts_gather_pallas``; returns ``(counts, combo)``
+    where combo = ``[n_hot, total, n_cand, hot_ids[k], hot_counts[k],
+    flat_idx[p], v0[p], v1[p]]`` as int32, the step's single D2H buffer.
 
     Element-index gather: requires ``data.shape[0] < 2**31`` (chunked engine
-    paths; huge resident corpora use the Pallas row gather instead).  Padded
-    slots duplicate tile 0; callers ignore them past the hot count.
+    paths; huge resident corpora use the Pallas row gather instead).
     """
     counts = _count_body(
         data, valid_count, expected_ty, pairs, length, tile_elems
@@ -313,15 +374,24 @@ def tile_counts_gather_xla(
         0,
         data.shape[0] - 1,
     )
-    packed = jnp.concatenate(
+    slots = data[idx]
+    n_cand, flat_idx, v0, v1 = exact_phase2(
+        slots, hot, nhot, vtvr[0], vtvr[1],
+        tile_elems=tile_elems, length=length, shift_cur=shift_cur,
+        shift_prev=shift_prev, expected=expected_exact,
+        signed_compare=signed_compare, recovery=recovery, p_cap=p_cap,
+    )
+    combo = jnp.concatenate(
         [
-            jnp.stack([nhot, jnp.sum(counts)]),
+            jnp.stack([nhot, jnp.sum(counts), n_cand]),
             hot,
             counts[hot],
-            data[idx].astype(jnp.int32).reshape(-1),
+            flat_idx,
+            v0,
+            v1,
         ]
     )
-    return counts, packed
+    return counts, combo
 
 
 @functools.partial(

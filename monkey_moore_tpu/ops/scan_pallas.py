@@ -533,9 +533,13 @@ def swar_dispatch_args(
 
     width = np.dtype(pat.dtype).itemsize
     block_rows, fine_per_block = tile_rows, 1
+    # cap the dispatch block at 2 MiB of VMEM (one row = LANES*width bytes:
+    # 1 KiB u8 / 2 KiB u16) — larger blocks push the kernel's ~6 shifted /
+    # diff intermediates past the 16 MiB scoped-VMEM budget
+    max_block_rows = (2 * 1024 * 1024) // (LANES * width)
     while (
         fine_per_block * 2 <= 1024
-        and block_rows * 2 <= 2048
+        and block_rows * 2 <= max_block_rows
         and num_fine_tiles % (fine_per_block * 2) == 0
     ):
         fine_per_block *= 2
@@ -564,43 +568,69 @@ def swar_dispatch_args(
     return expected_splat, valid, static
 
 
-def _hot_row_gather(data2d, counts, k_cap, rows_per_tile, rows_span):
-    """Device-side hot-tile summary + gather of the first ``k_cap`` hot
-    tiles' rows, packed into ONE flat int32 buffer:
+def _hot_slots_and_combo(
+    data2d, counts, exact_args, *, k_cap, rows_per_tile, rows_span,
+    span_elems, tile_elems, length, signed_compare, p_cap, width, packed,
+):
+    """Device-side tail of the fused step: gather the first ``k_cap`` hot
+    tiles' rows, run EXACT phase 2 on them (``scan_jnp.exact_phase2`` — the
+    full check tables, so prefilter false positives never reach the host),
+    and pack everything the host needs into ONE flat int32 buffer:
 
-        ``[n_hot, total_count, hot_ids[k], hot_counts[k], rows...]``
+        ``[n_hot, total, n_cand, hot_ids[k], hot_counts[k],
+           flat_idx[p], v0[p], v1[p]]``
 
     One buffer because every device→host transaction on the relay pays
-    ~20-30 ms of latency regardless of size — fetching a header and the
-    rows separately (or the full per-tile counts array, 4 MB at 8 GiB /
-    8 KiB tiles) costs more than the scan itself; the packed buffer is a
-    single small fetch (see docs/PERF.md).
+    ~20-30 ms of latency regardless of size, and bulk D2H runs at
+    ~25-45 MB/s — fetching hot-tile rows (or the full counts array) costs
+    more than the scan itself; candidates + recovery values are O(matches).
 
-    Row-index arithmetic (not element-index) keeps the indices within int32
-    even for >2^31-element corpora: an 8 GiB u8 corpus has 2^33 elements but
-    only 2^23 rows.  Padded slots (fewer than k_cap hot tiles) duplicate
-    tile 0; the host ignores them.  ``total_count`` is an int32 stats field
-    (may wrap past 2^31 prefilter hits; offsets/extraction never use it).
-    Element-dtype (non-packed) rows are widened to int32 for the concat —
-    only the SWAR toolchain path is performance-critical and its rows are
-    already int32 words.
+    Row-index arithmetic (not element-index) keeps the gather indices
+    within int32 even for >2^31-element corpora (an 8 GiB u8 corpus has
+    2^33 elements but 2^23 rows).  ``total`` is an int32 stats field (may
+    wrap past 2^31 prefilter hits; extraction never uses it).
     """
+    from .scan_jnp import exact_phase2
+
+    vtvr, shift_cur, shift_prev, expected_exact, recovery = exact_args
     hot = jnp.nonzero(counts, size=k_cap, fill_value=0)[0].astype(jnp.int32)
     nhot = jnp.sum((counts > 0).astype(jnp.int32))
-    total = jnp.sum(counts)
     idx = jnp.clip(
         hot[:, None] * jnp.int32(rows_per_tile)
         + jnp.arange(rows_span, dtype=jnp.int32)[None, :],
         0,
         data2d.shape[0] - 1,
     )
-    fetched = data2d[idx]
+    fetched = data2d[idx]  # (K, rows_span, lanes)
+    if packed:
+        # unpack little-endian i32 words to elements (tiny: K slots only)
+        w = fetched.reshape(k_cap, -1).astype(jnp.uint32)
+        k_per_word = 4 // width
+        ebits = 8 * width
+        emask = (1 << ebits) - 1
+        parts = [
+            ((w >> jnp.uint32(ebits * j)) & jnp.uint32(emask))
+            for j in range(k_per_word)
+        ]
+        elems = jnp.stack(parts, axis=-1).reshape(k_cap, -1)
+    else:
+        elems = fetched.reshape(k_cap, -1).astype(jnp.uint32)
+    dt = jnp.uint8 if width == 1 else jnp.uint16
+    slots = elems[:, :span_elems].astype(dt)
+    n_cand, flat_idx, v0, v1 = exact_phase2(
+        slots, hot, nhot, vtvr[0], vtvr[1],
+        tile_elems=tile_elems, length=length, shift_cur=shift_cur,
+        shift_prev=shift_prev, expected=expected_exact,
+        signed_compare=signed_compare, recovery=recovery, p_cap=p_cap,
+    )
     return jnp.concatenate(
         [
-            jnp.stack([nhot, total]),
+            jnp.stack([nhot, jnp.sum(counts), n_cand]),
             hot,
             counts[hot],
-            fetched.astype(jnp.int32).reshape(-1),
+            flat_idx,
+            v0,
+            v1,
         ]
     )
 
@@ -610,40 +640,58 @@ def _hot_row_gather(data2d, counts, k_cap, rows_per_tile, rows_span):
     static_argnames=(
         "pairs", "length", "tile_rows", "width", "interpret",
         "fine_per_block", "k_cap", "rows_per_tile", "rows_span",
+        "span_elems", "tile_elems", "signed_compare", "p_cap",
     ),
 )
 def _swar_counts_gather_call(
-    packed2d, expected, valid, *, pairs, length, tile_rows, width,
+    packed2d, expected, valid, vtvr, shift_cur, shift_prev,
+    expected_exact, recovery, *, pairs, length, tile_rows, width,
     interpret, fine_per_block, k_cap, rows_per_tile, rows_span,
+    span_elems, tile_elems, signed_compare, p_cap,
 ):
     counts = _tile_counts_swar_call(
         packed2d, expected, valid, pairs=pairs, length=length,
         tile_rows=tile_rows, width=width, interpret=interpret,
         fine_per_block=fine_per_block,
     )
-    return counts, _hot_row_gather(
-        packed2d, counts, k_cap, rows_per_tile, rows_span
+    combo = _hot_slots_and_combo(
+        packed2d, counts,
+        (vtvr, shift_cur, shift_prev, expected_exact, recovery),
+        k_cap=k_cap, rows_per_tile=rows_per_tile, rows_span=rows_span,
+        span_elems=span_elems, tile_elems=tile_elems, length=length,
+        signed_compare=signed_compare, p_cap=p_cap, width=width,
+        packed=True,
     )
+    return counts, combo
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "pairs", "length", "tile_rows", "widen", "interpret",
-        "k_cap", "rows_span",
+        "k_cap", "rows_span", "span_elems", "tile_elems",
+        "signed_compare", "p_cap", "width",
     ),
 )
 def _native_counts_gather_call(
-    data2d, expected, valid, *, pairs, length, tile_rows, widen,
-    interpret, k_cap, rows_span,
+    data2d, expected, valid, vtvr, shift_cur, shift_prev,
+    expected_exact, recovery, *, pairs, length, tile_rows, widen,
+    interpret, k_cap, rows_span, span_elems, tile_elems,
+    signed_compare, p_cap, width,
 ):
     counts = _tile_counts_call(
         data2d, expected, valid, pairs=pairs, length=length,
         tile_rows=tile_rows, widen=widen, interpret=interpret,
     )
-    return counts, _hot_row_gather(
-        data2d, counts, k_cap, tile_rows, rows_span
+    combo = _hot_slots_and_combo(
+        data2d, counts,
+        (vtvr, shift_cur, shift_prev, expected_exact, recovery),
+        k_cap=k_cap, rows_per_tile=tile_rows, rows_span=rows_span,
+        span_elems=span_elems, tile_elems=tile_elems, length=length,
+        signed_compare=signed_compare, p_cap=p_cap, width=width,
+        packed=False,
     )
+    return counts, combo
 
 
 def tile_counts_gather_pallas(
@@ -652,33 +700,50 @@ def tile_counts_gather_pallas(
     valid_count: int,
     tile_rows: int = DEFAULT_TILE_ROWS,
     k_cap: int = 8,
+    p_cap: int = 1024,
     interpret: bool = False,
     mode: str | None = None,
 ):
-    """Fused phase 1 + phase 2 gather in ONE device dispatch.
+    """Fused phases 1 + 2 in ONE device dispatch.
 
-    Returns device arrays ``(counts, packed)``: int32[T] per-tile match
+    Returns device arrays ``(counts, combo)``: int32[T] per-tile prefilter
     counts (left on device — fetched only for the overflow fallback) and
-    the single packed hot-tile buffer (see :func:`_hot_row_gather`) whose
-    row slots each cover ``tile_elems + L - 1`` elements from a hot tile's
-    start.  On a dispatch-latency-dominated link (the axon relay costs
-    ~28 ms per round trip plus ~20-30 ms per D2H transaction) this removes
-    the separate ``extract_hot_tiles_device`` gather dispatch, the per-step
-    counts-array transfer, AND the second fetch transaction: every step
-    fetches exactly one small buffer.  If more than ``k_cap`` tiles are
-    hot, callers fetch ``counts`` and fall back to the batched gather
+    the single packed result buffer (see :func:`_hot_slots_and_combo`)
+    carrying the hot-tile header plus the EXACT candidate offsets and
+    recovery values.  On a dispatch-latency-dominated link (the axon relay
+    costs ~28 ms per round trip plus ~20-30 ms per D2H transaction) every
+    step costs exactly one dispatch and one small fetch.  If more than
+    ``k_cap`` tiles are hot or more than ``p_cap`` candidates match,
+    callers fetch ``counts`` and fall back to the batched gather
     (``dense.extract_hot_tiles_device``).
 
     Same tiling/halo contract as :func:`tile_counts_pallas`.
     """
+    from .scan_jnp import pattern_device_args, prefilter_checks
+
     rows, lanes = data2d.shape
     num_tiles = rows // tile_rows - 1
     packed = data2d.dtype == jnp.int32 and np.dtype(pat.dtype) != np.int32
     width = np.dtype(pat.dtype).itemsize
     L = pat.length
+    tile_elems = tile_rows * LANES
+    span_elems = tile_elems + L - 1
     # both layouts hold LANES elements per row, so the span covering
-    # tile_elems + L - 1 elements from a row-aligned tile start is:
+    # span_elems elements from a row-aligned tile start is:
     rows_span = tile_rows + -(-(L - 1) // LANES)
+    vtvr = jnp.asarray(
+        [valid_count // tile_elems, valid_count % tile_elems],
+        dtype=jnp.int32,
+    )
+    sc, sp, exp_exact, recovery = pattern_device_args(pat)
+    exact = dict(
+        span_elems=span_elems,
+        tile_elems=tile_elems,
+        signed_compare=pat.signed_compare,
+        p_cap=p_cap,
+        k_cap=k_cap,
+        rows_span=rows_span,
+    )
     if mode is None:
         mode = (pallas_compute_mode() or "native") if not interpret else "native"
     if packed:
@@ -695,17 +760,18 @@ def tile_counts_gather_pallas(
             packed2d,
             expected_splat,
             valid,
+            vtvr,
+            sc,
+            sp,
+            exp_exact,
+            recovery,
             interpret=interpret,
-            k_cap=k_cap,
             rows_per_tile=tile_rows,
-            rows_span=rows_span,
+            **exact,
             **static,
         )
-    from .scan_jnp import prefilter_checks
-
     pairs, exp_sel = prefilter_checks(pat)
     expected = jnp.asarray(exp_sel.astype(np.int32))
-    tile_elems = tile_rows * lanes
     lim = valid_count - L
     valid = jnp.asarray(
         [lim // tile_elems, lim % tile_elems], dtype=jnp.int32
@@ -714,13 +780,18 @@ def tile_counts_gather_pallas(
         data2d,
         expected,
         valid,
+        vtvr,
+        sc,
+        sp,
+        exp_exact,
+        recovery,
         pairs=pairs,
         length=L,
         tile_rows=tile_rows,
         widen=mode == "i32",
         interpret=interpret,
-        k_cap=k_cap,
-        rows_span=rows_span,
+        width=width,
+        **exact,
     )
 
 

@@ -344,6 +344,55 @@ class TestFusedCountExtract:
         assert offs.tolist() == plants
         assert info.hot_tiles == 6
 
+    @pytest.mark.parametrize("backend", ["xla", "pallas-interpret"])
+    def test_device_exact_filters_prefilter_false_positives(self, backend):
+        # windows that pass the capped mod-2^width prefilter but fail the
+        # full exact checks must die ON DEVICE (n_cand excludes them), not
+        # just in a host pass
+        import jax.numpy as jnp
+        from monkey_moore_tpu.dense import TILE_ELEMS, fused_count_extract
+
+        pat = compile_pattern("abcdefgh")  # 7 checks, 4 on the prefilter
+        arr = np.zeros(3 * TILE_ELEMS, dtype=np.uint8)
+        # ramp of 5: passes the first-4-diffs prefilter, breaks at check 5
+        arr[100:106] = [10, 11, 12, 13, 14, 99]
+        # a real match
+        kw = (np.array(pat.keyword) + 3).astype(np.uint8)
+        arr[500:508] = kw
+        n = 2 * TILE_ELEMS
+        interpret = backend != "xla"
+        offs, vals, info = fused_count_extract(
+            pat, jnp.asarray(arr), n,
+            use_pallas=interpret, interpret=interpret,
+        )
+        assert info.hot_tiles == 1  # both plants share tile 0
+        # phase 1 counts the ramp FP, the match, and the match's interior
+        # windows (first-4-diffs all pass)...
+        assert info.prefilter_total == 5
+        assert offs.tolist() == [500]  # ...exact phase 2 keeps only the match
+
+    def test_many_false_positive_tiles_few_exact_matches(self):
+        # the wildcard-suite regime: prefilter false positives scattered
+        # over many tiles, almost no exact matches — k_cap auto-sizing must
+        # keep the fused path (no fallback) and return exactly the true set
+        import jax.numpy as jnp
+        from monkey_moore_tpu.dense import TILE_ELEMS, fused_count_extract
+
+        pat = compile_pattern("abcdefgh")
+        n_tiles = 12
+        arr = np.zeros((n_tiles + 2) * TILE_ELEMS, dtype=np.uint8)
+        for t in range(n_tiles):  # a broken ramp in every tile
+            p = t * TILE_ELEMS + 37
+            arr[p : p + 6] = [10, 11, 12, 13, 14, 99]
+        kw = (np.array(pat.keyword) + 3).astype(np.uint8)
+        real = [3 * TILE_ELEMS + 11, 9 * TILE_ELEMS + 200]
+        for p in real:
+            arr[p : p + 8] = kw
+        n = n_tiles * TILE_ELEMS
+        offs, vals, info = fused_count_extract(pat, jnp.asarray(arr), n)
+        assert info.hot_tiles == n_tiles
+        assert offs.tolist() == real
+
     def test_16bit_and_grid_offset(self):
         import jax.numpy as jnp
         from monkey_moore_tpu.dense import TILE_ELEMS, fused_count_extract

@@ -3,14 +3,21 @@
 (``benchmarks/bench_search.cpp:67-104``): 8/16-bit relative search and
 wildcard Front/Middle/Back variants, bytes/s on device-resident data.
 
+Each timed step is the production fused scan (``dense.fused_count_extract``:
+ONE dispatch, ONE small device→host transaction).  On SWAR-capable
+toolchains the corpus is generated directly in HBM in the kernel's packed
+layout (the relay's host→device path is too slow to upload per suite);
+otherwise a host buffer is uploaded once per suite.
+
 Writes BENCH_DETAIL.json at the repo root and prints a table with
 per-suite speedup vs the reference C++ core measured on this host
-(BASELINE_MEASURED.json).
+(BASELINE_MEASURED.json, reproducible via ``tools/refbench/run.py``).
 
-Usage: python tools/bench_all.py [--mb 512] [--iters 10]
+Usage: python tools/bench_all.py [--mb 2048] [--iters 10]
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -33,9 +40,29 @@ SUITES = [
 ]
 
 
+def device_corpus(jax, jnp, n_bytes, lanes32, pad_rows):
+    """Random packed corpus generated in HBM (threefry, chunked fill with
+    buffer donation — peak HBM = corpus + one 256 MiB chunk)."""
+
+    @functools.partial(jax.jit, donate_argnums=0, static_argnames=("m",))
+    def fill(buf, key, row0, *, m):
+        w = jax.random.bits(key, (m, lanes32), dtype=jnp.uint32)
+        return jax.lax.dynamic_update_slice(
+            buf, jax.lax.bitcast_convert_type(w, jnp.int32), (row0, 0)
+        )
+
+    corpus_rows = n_bytes // 4 // lanes32
+    buf = jnp.zeros((corpus_rows + pad_rows, lanes32), dtype=jnp.int32)
+    chunk = (64 * 1024 * 1024) // lanes32
+    for i, row0 in enumerate(range(0, corpus_rows, chunk)):
+        m = min(chunk, corpus_rows - row0)
+        buf = fill(buf, jax.random.PRNGKey(i), jnp.int32(row0), m=m)
+    return jax.block_until_ready(buf)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mb", type=int, default=512)
+    ap.add_argument("--mb", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--no-sweep", action="store_true",
@@ -45,8 +72,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from monkey_moore_tpu.dense import TILE_ELEMS, extract_hot_tiles, tile_counts
+    from monkey_moore_tpu.dense import (
+        TILE_ELEMS,
+        fused_count_extract,
+        wants_packed,
+    )
+    from monkey_moore_tpu.ops.scan_pallas import LANES
     from monkey_moore_tpu.pattern import compile_pattern
+    from monkey_moore_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     baselines = {}
     try:
@@ -58,26 +93,33 @@ def main():
         pass
 
     n_bytes = args.mb * 1024 * 1024
-    rng = np.random.default_rng(42)
-    raw = rng.integers(0, 256, n_bytes, dtype=np.uint8)
+    host_raw = None  # lazy host buffer for non-packed backends
 
-    results = {}
-    for name, keyword, wildcard, width in SUITES:
-        dtype = np.uint8 if width == 1 else np.uint16
-        n = n_bytes // width
-        data = raw[: n * width].view("<u2" if width == 2 else np.uint8)
-        pat = compile_pattern(keyword, wildcard, dtype=dtype)
-        arr = np.zeros(
-            (-(-n // TILE_ELEMS) + 1) * TILE_ELEMS, dtype=dtype
-        )
-        arr[:n] = data
-        dev = jax.device_put(jnp.asarray(arr))
-        jax.block_until_ready(dev)
+    def bench_step(pat, n, width, tile_elems, size_bytes):
+        """Build the suite's corpus, return best-of-iters step seconds."""
+        nonlocal host_raw
+        if wants_packed(pat, tile_elems):
+            lanes32 = LANES * width // 4
+            pad_rows = tile_elems // LANES
+            dev = device_corpus(jax, jnp, size_bytes, lanes32, pad_rows)
+        else:
+            if host_raw is None or len(host_raw) < size_bytes:
+                host_raw = np.random.default_rng(42).integers(
+                    0, 256, size_bytes, dtype=np.uint8
+                )
+            dtype = np.uint8 if width == 1 else np.uint16
+            arr = np.zeros(
+                (n // tile_elems + 1) * tile_elems, dtype=dtype
+            )
+            arr[:n] = host_raw[: n * width].view(
+                "<u2" if width == 2 else np.uint8
+            )
+            dev = jax.block_until_ready(jnp.asarray(arr))
 
         def step():
-            counts = tile_counts(pat, dev, n)
-            if counts.any():
-                extract_hot_tiles(pat, arr[:n], counts)
+            fused_count_extract(
+                pat, dev, n, tile_elems=tile_elems, k_cap=4
+            )
 
         step()
         for _ in range(args.warmup):
@@ -87,6 +129,18 @@ def main():
             t0 = time.perf_counter()
             step()
             best = min(best, time.perf_counter() - t0)
+        del dev
+        return best
+
+    results = {}
+    for name, keyword, wildcard, width in SUITES:
+        dtype = np.uint8 if width == 1 else np.uint16
+        pat = compile_pattern(keyword, wildcard, dtype=dtype)
+        tile_elems = (
+            8 * LANES if wants_packed(pat, 8 * LANES) else TILE_ELEMS
+        )
+        n = n_bytes // width
+        best = bench_step(pat, n, width, tile_elems, n_bytes)
         bps = n_bytes / best
         base = baselines.get(name)
         speedup = bps / base if base else None
@@ -97,7 +151,6 @@ def main():
         }
         sp = f"{speedup:8.1f}x" if speedup else "      n/a"
         print(f"{name:<45} {bps / 1e9:8.2f} GB/s  vs ref {sp}", flush=True)
-        del dev
 
     # Buffer-size ladder (the reference's Range(128<<10, 16<<20) with
     # RangeMultiplier(4), ``benchmarks/bench_search.cpp:70``) — exposes the
@@ -106,33 +159,15 @@ def main():
     sweep = {}
     if not args.no_sweep:
         pat = compile_pattern("abcde")
+        tile_elems = (
+            8 * LANES if wants_packed(pat, 8 * LANES) else TILE_ELEMS
+        )
         print()
         for size in [128 << 10 << (2 * i) for i in range(4)] + [16 << 20]:
-            n = size
-            arr = np.zeros(
-                (-(-n // TILE_ELEMS) + 1) * TILE_ELEMS, dtype=np.uint8
-            )
-            arr[:n] = raw[:n]
-            dev = jax.device_put(jnp.asarray(arr))
-            jax.block_until_ready(dev)
-
-            def sstep():
-                counts = tile_counts(pat, dev, n)
-                if counts.any():
-                    extract_hot_tiles(pat, arr[:n], counts)
-
-            sstep()
-            for _ in range(args.warmup):
-                sstep()
-            best = float("inf")
-            for _ in range(args.iters):
-                t0 = time.perf_counter()
-                sstep()
-                best = min(best, time.perf_counter() - t0)
-            sweep[str(size)] = n / best
-            print(f"sweep {size >> 10:>6} KiB {n / best / 1e9:8.2f} GB/s",
+            best = bench_step(pat, size, 1, tile_elems, size)
+            sweep[str(size)] = size / best
+            print(f"sweep {size >> 10:>6} KiB {size / best / 1e9:8.2f} GB/s",
                   flush=True)
-            del dev
 
     out = REPO / "BENCH_DETAIL.json"
     out.write_text(json.dumps({

@@ -15,8 +15,11 @@ Stages (``--stage``, comma-separated; default ``floor,roofline,kernel``):
   kernel    SWAR tile-count kernel across --tile-rows heights, counts
             fetched each iteration (the production phase-1 measurement)
   variants  wildcard ("ab*de"), 16-bit, and 12-char-keyword kernel rates
-  e2e       full production step breakdown at the engine's 64 KiB count
+  e2e       two-dispatch step breakdown at the engine's 64 KiB count
             tiles: counts-only, hot-tile extraction only, full step
+  fused     the production fused step (ONE dispatch + ONE D2H transaction,
+            dense.fused_count_extract) at 8 KiB gather tiles, vs the
+            counts-only and two-dispatch compositions on the same corpus
 
 Examples (the measurements in docs/PERF.md):
 
@@ -64,7 +67,7 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument(
         "--stage", default="floor,roofline,kernel",
-        help="comma list: floor,roofline,kernel,variants,e2e,all",
+        help="comma list: floor,roofline,kernel,variants,e2e,fused,all",
     )
     ap.add_argument(
         "--tile-rows", default="256,1024,2048",
@@ -73,7 +76,7 @@ def main():
     args = ap.parse_args()
     stages = set(args.stage.split(","))
     if "all" in stages:
-        stages = {"floor", "roofline", "kernel", "variants", "e2e"}
+        stages = {"floor", "roofline", "kernel", "variants", "e2e", "fused"}
     timeit = make_timeit(args.iters)
 
     import jax
@@ -229,6 +232,24 @@ def main():
             return c
 
         emit("e2e_full_step", timeit(full_step), n)
+
+    if "fused" in stages:
+        from monkey_moore_tpu.dense import fused_count_extract
+
+        for kw, te in (("abcde", 8 * LANES), ("ab*de", 8 * LANES)):
+            p = compile_pattern(kw, "*" if "*" in kw else 0)
+
+            def fstep(p=p, te=te):
+                _, _, info = fused_count_extract(
+                    pat if p is None else p, data2d, n, tile_elems=te
+                )
+                return info
+
+            info = fstep()
+            emit(
+                f"fused_step_{kw.replace('*', 'W')}", timeit(fstep), n,
+                hot=info.hot_tiles,
+            )
 
 
 if __name__ == "__main__":
