@@ -40,9 +40,10 @@ ITERS = int(os.environ.get("MMTPU_BENCH_ITERS", "15"))
 # block (full kernel rate) while any hot-tile gather ships only
 # 8 KiB + L - 1 bytes per hot tile over the slow relay D2H path
 TILE_ROWS = int(os.environ.get("MMTPU_BENCH_TILE_ROWS", "8"))
-# hot-tile gather capacity: each slot costs ~tile bytes of D2H when any
-# tile is hot (relay D2H ~25-45 MB/s), so keep the bench's capacity small
-K_CAP = int(os.environ.get("MMTPU_BENCH_KCAP", "4"))
+# hot-tile gather capacity: 0 = auto-size from the expected prefilter
+# false-positive rate (the gather stays on device; only exact candidates
+# cross D2H)
+K_CAP = int(os.environ.get("MMTPU_BENCH_KCAP", "0")) or None
 
 #: HBM read bandwidth by device kind, GB/s (v5e: 16 GiB HBM2E @ ~819 GB/s;
 #: v4: 32 GiB @ ~1228 GB/s; v5p ~2765; v6e ~1640).

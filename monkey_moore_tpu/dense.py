@@ -265,7 +265,7 @@ def fused_count_extract(
         )
         from .ops.scan_jnp import pattern_device_args
 
-        sc, sp, exp_exact, recovery = pattern_device_args(pat)
+        _, _, exp_exact, recovery = pattern_device_args(pat)
         vtvr = jnp.asarray(
             [valid_count // tile_elems, valid_count % tile_elems],
             dtype=jnp.int32,
@@ -275,8 +275,6 @@ def fused_count_extract(
             jnp.int32(valid_count),
             jnp.asarray(exp_sel),
             vtvr,
-            sc,
-            sp,
             exp_exact,
             recovery,
             pairs=pairs,
@@ -286,6 +284,10 @@ def fused_count_extract(
             span=tile_elems + L - 1,
             p_cap=p_cap,
             signed_compare=pat.signed_compare,
+            pairs_exact=tuple(
+                (int(c), int(p))
+                for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
+            ),
         )
     # ONE device→host transaction per step: [n_hot, total, n_cand,
     # hot_ids, hot_counts, flat_idx, v0, v1] — every extra transaction

@@ -285,8 +285,7 @@ def exact_phase2(
     *,
     tile_elems: int,
     length: int,
-    shift_cur: jnp.ndarray,
-    shift_prev: jnp.ndarray,
+    pairs_exact: tuple,
     expected: jnp.ndarray,
     signed_compare: bool,
     recovery: jnp.ndarray,
@@ -297,10 +296,14 @@ def exact_phase2(
     ``slots`` is ``(K, span)`` element-dtype data, slot i covering tile
     ``hot[i]``'s ``tile_elems + L - 1`` elements; ``vt2/vr2`` encode the
     valid element count as ``vt2 * tile_elems + vr2`` (int32-safe past 2^31
-    elements).  Runs the full exact check tables (:func:`match_bitmap` —
-    all checks, signed semantics; NOT the capped mod-2^width prefilter) on
-    every slot, so prefilter false positives die on device and only true
-    candidates cross to the host.  Returns ``(n_cand, flat_idx[p_cap],
+    elements).  Runs the FULL exact check tables (same semantics as
+    :func:`match_bitmap` / ``scan_np.match_positions_np``: every check,
+    signed where the mode requires; NOT the capped mod-2^width prefilter)
+    on every slot, so prefilter false positives die on device and only
+    true candidates cross to the host.  ``pairs_exact`` is static so every
+    check is a fused static slice + compare over the (K, positions) block
+    — a vmapped dynamic-start slice (traced shifts) measured ~38 ms at
+    K=512 where this form is ~1 ms.  Returns ``(n_cand, flat_idx[p_cap],
     v0[p_cap], v1[p_cap])`` where ``flat_idx = slot * tile_elems + rel``
     ascending (slot-major) and v0/v1 are the recovery values.
 
@@ -308,21 +311,33 @@ def exact_phase2(
     count is forced to 0 so they contribute no candidates.
     """
     K, span = slots.shape
+    positions = span - length + 1  # == tile_elems by construction
     dt = jnp.clip(vt2 - hot, -1, 2)
     valid_slot = jnp.clip(dt * jnp.int32(tile_elems) + vr2, 0, span)
     valid_slot = jnp.where(
         jnp.arange(K, dtype=jnp.int32) < nhot, valid_slot, 0
     )
-    bitmap = jax.vmap(
-        lambda d, v: match_bitmap(
-            d, v, length, shift_cur, shift_prev, expected, signed_compare
-        )
-    )(slots, valid_slot)  # (K, tile_elems): positions = span - L + 1
+    cmp = (
+        slots.astype(_widen_dtype(slots.dtype))
+        if signed_compare
+        else slots
+    )
+    ok = None
+    for i, (c, p) in enumerate(pairs_exact):
+        eq = (
+            jax.lax.slice_in_dim(cmp, c, c + positions, axis=1)
+            - jax.lax.slice_in_dim(cmp, p, p + positions, axis=1)
+        ) == expected[i]
+        ok = eq if ok is None else ok & eq
+    if ok is None:
+        ok = jnp.ones((K, positions), dtype=bool)
+    pos_idx = jnp.arange(positions, dtype=jnp.int32)[None, :]
+    bitmap = ok & (pos_idx <= valid_slot[:, None] - length)
     flat = bitmap.reshape(-1)
     n_cand = jnp.sum(flat, dtype=jnp.int32)
     idx = jnp.nonzero(flat, size=p_cap, fill_value=0)[0].astype(jnp.int32)
-    slot = idx // jnp.int32(tile_elems)
-    rel = idx % jnp.int32(tile_elems)
+    slot = idx // jnp.int32(positions)
+    rel = idx % jnp.int32(positions)
     lim = jnp.maximum(valid_slot[slot] - 1, 0)
     v0 = slots[slot, jnp.clip(rel + recovery[0], 0, lim)].astype(jnp.int32)
     v1 = slots[slot, jnp.clip(rel + recovery[1], 0, lim)].astype(jnp.int32)
@@ -333,7 +348,7 @@ def exact_phase2(
     jax.jit,
     static_argnames=(
         "pairs", "length", "tile_elems", "k_cap", "span", "p_cap",
-        "signed_compare",
+        "signed_compare", "pairs_exact",
     ),
 )
 def tile_counts_gather_xla(
@@ -341,8 +356,6 @@ def tile_counts_gather_xla(
     valid_count: jnp.ndarray,
     expected_ty: jnp.ndarray,
     vtvr: jnp.ndarray,
-    shift_cur: jnp.ndarray,
-    shift_prev: jnp.ndarray,
     expected_exact: jnp.ndarray,
     recovery: jnp.ndarray,
     *,
@@ -353,6 +366,7 @@ def tile_counts_gather_xla(
     span: int,
     p_cap: int,
     signed_compare: bool,
+    pairs_exact: tuple,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused :func:`tile_counts_xla` + hot-tile gather + on-device EXACT
     extraction (:func:`exact_phase2`) in ONE dispatch — the XLA twin of
@@ -368,18 +382,20 @@ def tile_counts_gather_xla(
     )
     hot = jnp.nonzero(counts, size=k_cap, fill_value=0)[0].astype(jnp.int32)
     nhot = jnp.sum((counts > 0).astype(jnp.int32))
+    # gather whole tiles (2 per slot: tile + halo) via a free reshape —
+    # far fewer DMA descriptors than an element- or row-index gather
+    dataT = data.reshape(-1, tile_elems)
     idx = jnp.clip(
-        hot[:, None] * jnp.int32(tile_elems)
-        + jnp.arange(span, dtype=jnp.int32)[None, :],
+        hot[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :],
         0,
-        data.shape[0] - 1,
+        dataT.shape[0] - 1,
     )
-    slots = data[idx]
+    slots = dataT[idx].reshape(k_cap, -1)[:, :span]
     n_cand, flat_idx, v0, v1 = exact_phase2(
         slots, hot, nhot, vtvr[0], vtvr[1],
-        tile_elems=tile_elems, length=length, shift_cur=shift_cur,
-        shift_prev=shift_prev, expected=expected_exact,
-        signed_compare=signed_compare, recovery=recovery, p_cap=p_cap,
+        tile_elems=tile_elems, length=length, pairs_exact=pairs_exact,
+        expected=expected_exact, signed_compare=signed_compare,
+        recovery=recovery, p_cap=p_cap,
     )
     combo = jnp.concatenate(
         [

@@ -569,7 +569,7 @@ def swar_dispatch_args(
 
 
 def _hot_slots_and_combo(
-    data2d, counts, exact_args, *, k_cap, rows_per_tile, rows_span,
+    data2d, counts, exact_args, *, k_cap, rows_per_tile,
     span_elems, tile_elems, length, signed_compare, p_cap, width, packed,
 ):
     """Device-side tail of the fused step: gather the first ``k_cap`` hot
@@ -592,16 +592,21 @@ def _hot_slots_and_combo(
     """
     from .scan_jnp import exact_phase2
 
-    vtvr, shift_cur, shift_prev, expected_exact, recovery = exact_args
+    vtvr, expected_exact, recovery, pairs_exact = exact_args
     hot = jnp.nonzero(counts, size=k_cap, fill_value=0)[0].astype(jnp.int32)
     nhot = jnp.sum((counts > 0).astype(jnp.int32))
+    # gather whole fine tiles as single rows (a free bitcast reshape):
+    # 2 DMA descriptors per slot (tile + halo tile) instead of
+    # rows_per_tile + 1 — per-row gather latency (~8 us/row) measured
+    # ~38 ms at K=512 in the row-index formulation
+    tile_w = rows_per_tile * data2d.shape[1]
+    dataT = data2d.reshape(-1, tile_w)
     idx = jnp.clip(
-        hot[:, None] * jnp.int32(rows_per_tile)
-        + jnp.arange(rows_span, dtype=jnp.int32)[None, :],
+        hot[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :],
         0,
-        data2d.shape[0] - 1,
+        dataT.shape[0] - 1,
     )
-    fetched = data2d[idx]  # (K, rows_span, lanes)
+    fetched = dataT[idx]  # (K, 2, tile_w)
     if packed:
         # unpack little-endian i32 words to elements (tiny: K slots only)
         w = fetched.reshape(k_cap, -1).astype(jnp.uint32)
@@ -619,9 +624,9 @@ def _hot_slots_and_combo(
     slots = elems[:, :span_elems].astype(dt)
     n_cand, flat_idx, v0, v1 = exact_phase2(
         slots, hot, nhot, vtvr[0], vtvr[1],
-        tile_elems=tile_elems, length=length, shift_cur=shift_cur,
-        shift_prev=shift_prev, expected=expected_exact,
-        signed_compare=signed_compare, recovery=recovery, p_cap=p_cap,
+        tile_elems=tile_elems, length=length, pairs_exact=pairs_exact,
+        expected=expected_exact, signed_compare=signed_compare,
+        recovery=recovery, p_cap=p_cap,
     )
     return jnp.concatenate(
         [
@@ -639,15 +644,16 @@ def _hot_slots_and_combo(
     jax.jit,
     static_argnames=(
         "pairs", "length", "tile_rows", "width", "interpret",
-        "fine_per_block", "k_cap", "rows_per_tile", "rows_span",
+        "fine_per_block", "k_cap", "rows_per_tile",
         "span_elems", "tile_elems", "signed_compare", "p_cap",
+        "pairs_exact",
     ),
 )
 def _swar_counts_gather_call(
-    packed2d, expected, valid, vtvr, shift_cur, shift_prev,
-    expected_exact, recovery, *, pairs, length, tile_rows, width,
-    interpret, fine_per_block, k_cap, rows_per_tile, rows_span,
-    span_elems, tile_elems, signed_compare, p_cap,
+    packed2d, expected, valid, vtvr, expected_exact, recovery, *,
+    pairs, length, tile_rows, width, interpret, fine_per_block, k_cap,
+    rows_per_tile, span_elems, tile_elems, signed_compare,
+    p_cap, pairs_exact,
 ):
     counts = _tile_counts_swar_call(
         packed2d, expected, valid, pairs=pairs, length=length,
@@ -656,8 +662,8 @@ def _swar_counts_gather_call(
     )
     combo = _hot_slots_and_combo(
         packed2d, counts,
-        (vtvr, shift_cur, shift_prev, expected_exact, recovery),
-        k_cap=k_cap, rows_per_tile=rows_per_tile, rows_span=rows_span,
+        (vtvr, expected_exact, recovery, pairs_exact),
+        k_cap=k_cap, rows_per_tile=rows_per_tile,
         span_elems=span_elems, tile_elems=tile_elems, length=length,
         signed_compare=signed_compare, p_cap=p_cap, width=width,
         packed=True,
@@ -669,15 +675,14 @@ def _swar_counts_gather_call(
     jax.jit,
     static_argnames=(
         "pairs", "length", "tile_rows", "widen", "interpret",
-        "k_cap", "rows_span", "span_elems", "tile_elems",
-        "signed_compare", "p_cap", "width",
+        "k_cap", "span_elems", "tile_elems",
+        "signed_compare", "p_cap", "width", "pairs_exact",
     ),
 )
 def _native_counts_gather_call(
-    data2d, expected, valid, vtvr, shift_cur, shift_prev,
-    expected_exact, recovery, *, pairs, length, tile_rows, widen,
-    interpret, k_cap, rows_span, span_elems, tile_elems,
-    signed_compare, p_cap, width,
+    data2d, expected, valid, vtvr, expected_exact, recovery, *,
+    pairs, length, tile_rows, widen, interpret, k_cap,
+    span_elems, tile_elems, signed_compare, p_cap, width, pairs_exact,
 ):
     counts = _tile_counts_call(
         data2d, expected, valid, pairs=pairs, length=length,
@@ -685,8 +690,8 @@ def _native_counts_gather_call(
     )
     combo = _hot_slots_and_combo(
         data2d, counts,
-        (vtvr, shift_cur, shift_prev, expected_exact, recovery),
-        k_cap=k_cap, rows_per_tile=tile_rows, rows_span=rows_span,
+        (vtvr, expected_exact, recovery, pairs_exact),
+        k_cap=k_cap, rows_per_tile=tile_rows,
         span_elems=span_elems, tile_elems=tile_elems, length=length,
         signed_compare=signed_compare, p_cap=p_cap, width=width,
         packed=False,
@@ -728,21 +733,21 @@ def tile_counts_gather_pallas(
     L = pat.length
     tile_elems = tile_rows * LANES
     span_elems = tile_elems + L - 1
-    # both layouts hold LANES elements per row, so the span covering
-    # span_elems elements from a row-aligned tile start is:
-    rows_span = tile_rows + -(-(L - 1) // LANES)
     vtvr = jnp.asarray(
         [valid_count // tile_elems, valid_count % tile_elems],
         dtype=jnp.int32,
     )
-    sc, sp, exp_exact, recovery = pattern_device_args(pat)
+    _, _, exp_exact, recovery = pattern_device_args(pat)
     exact = dict(
         span_elems=span_elems,
         tile_elems=tile_elems,
         signed_compare=pat.signed_compare,
         p_cap=p_cap,
         k_cap=k_cap,
-        rows_span=rows_span,
+        pairs_exact=tuple(
+            (int(c), int(p))
+            for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
+        ),
     )
     if mode is None:
         mode = (pallas_compute_mode() or "native") if not interpret else "native"
@@ -761,8 +766,6 @@ def tile_counts_gather_pallas(
             expected_splat,
             valid,
             vtvr,
-            sc,
-            sp,
             exp_exact,
             recovery,
             interpret=interpret,
@@ -781,8 +784,6 @@ def tile_counts_gather_pallas(
         expected,
         valid,
         vtvr,
-        sc,
-        sp,
         exp_exact,
         recovery,
         pairs=pairs,

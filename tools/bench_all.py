@@ -117,9 +117,10 @@ def main():
             dev = jax.block_until_ready(jnp.asarray(arr))
 
         def step():
-            fused_count_extract(
-                pat, dev, n, tile_elems=tile_elems, k_cap=4
-            )
+            # k_cap auto-sizes from the pattern's expected prefilter FP
+            # rate (wildcard keywords legitimately match random data at
+            # ~2^-8c per window — those are true matches, not noise)
+            fused_count_extract(pat, dev, n, tile_elems=tile_elems)
 
         step()
         for _ in range(args.warmup):
