@@ -81,6 +81,28 @@ def main():
     assert n % tile_elems == 0
     pat = compile_pattern("abcde")
 
+    # Fail fast (clear message, not a compile dump) if the corpus + working
+    # set cannot fit device memory.  The fused step needs the corpus plus
+    # ~256 MiB of fill/gather slack (the gather itself is O(k_cap)).
+    dev0 = jax.devices()[0]
+    limit = None
+    try:
+        limit = dev0.memory_stats().get("bytes_limit")
+    except Exception:
+        pass
+    if limit is None:
+        hbm_gib = {"TPU v5 lite": 16, "TPU v5litepod": 16, "TPU v4": 32,
+                   "TPU v5p": 95, "TPU v6 lite": 32}.get(dev0.device_kind)
+        limit = hbm_gib * (1 << 30) * 63 // 64 if hbm_gib else None
+    slack = 256 * 1024 * 1024
+    if limit is not None and n + slack > limit:
+        print(
+            f"error: MMTPU_BENCH_MB={DATA_MB} needs {n + slack} bytes but "
+            f"{dev0.device_kind} provides {limit}; lower MMTPU_BENCH_MB",
+            file=sys.stderr,
+        )
+        return 1
+
     if pallas_compute_mode() == "swar":
         # Generate the corpus directly in HBM as packed random words in the
         # SWAR kernel's 2-D operand layout (no host→device transfer — the

@@ -37,6 +37,9 @@ __all__ = [
     "two_phase_candidates",
     "tile_counts",
     "fused_count_extract",
+    "fused_count_extract_multi",
+    "fused_multi_eligible",
+    "auto_k_cap",
     "FusedInfo",
     "extract_hot_tiles",
     "extract_hot_tiles_device",
@@ -167,11 +170,36 @@ _EMPTY = (
 )
 
 
+def auto_k_cap(
+    pat: CompiledPattern, valid_count: int, tile_elems: int, n_pairs: int
+) -> int:
+    """Hot-tile gather capacity for the fused step.
+
+    Sized from the expected prefilter-FP positions on random data with 2x +
+    slack headroom (hot tiles <= positions); the gather stays device-side,
+    so a large cap costs HBM reads, not D2H bytes.  Additionally bounded by
+    a slot-bytes budget (the fused step materializes ``k_cap`` slots of
+    ``2 * tile_elems`` elements; 64 MiB — without the bound, large count
+    tiles + a high-FP pattern drove a ~1 GiB device gather per chunk).
+    """
+    bits = 8 * np.dtype(pat.dtype).itemsize
+    exp_fp = valid_count * (2.0 ** (-bits * max(1, n_pairs)))
+    k_cap = int(min(2048, 1 << int(2 * exp_fp + 16).bit_length()))
+    slot_bytes = 2 * tile_elems * np.dtype(pat.dtype).itemsize
+    budget_slots = max(8, (64 * 1024 * 1024) // slot_bytes)
+    if k_cap > budget_slots:
+        k_cap = 1 << (budget_slots.bit_length() - 1)
+    return k_cap
+
+
 class FusedInfo(NamedTuple):
     """Stats sidecar of :func:`fused_count_extract` (device-computed)."""
 
     hot_tiles: int  #: tiles with a nonzero prefilter count
     prefilter_total: int  #: sum of prefilter counts (int32 stats field)
+    candidates: int = 0  #: exact candidates extracted this step
+    fallback: bool = False  #: capacity overflow → counts fetch + batched gather
+    d2h_bytes: int = 0  #: bytes this step shipped device→host
 
 
 def fused_count_extract(
@@ -212,12 +240,7 @@ def fused_count_extract(
         max_shift < LANES
     )
     if k_cap is None:
-        # expected prefilter-FP positions on random data, with 2x + slack
-        # headroom; hot tiles <= positions.  The gather stays device-side,
-        # so a large cap costs HBM reads, not D2H bytes.
-        bits = 8 * np.dtype(pat.dtype).itemsize
-        exp_fp = valid_count * (2.0 ** (-bits * max(1, len(pairs))))
-        k_cap = int(min(2048, 1 << int(2 * exp_fp + 16).bit_length()))
+        k_cap = auto_k_cap(pat, valid_count, tile_elems, len(pairs))
     if not pairs:
         # all-wildcard keywords match every window — every tile is hot, so
         # fusion buys nothing; use the two-dispatch path's host special-case
@@ -229,7 +252,8 @@ def fused_count_extract(
             pat, arr_device, counts, valid_count, tile_elems, grid_offset
         )
         return offs, vals, FusedInfo(
-            int((counts > 0).sum()), int(counts.sum())
+            int((counts > 0).sum()), int(counts.sum()),
+            candidates=len(offs), fallback=True, d2h_bytes=counts.nbytes,
         )
 
     packed = arr_device.dtype == np.int32 and np.dtype(pat.dtype) != np.int32
@@ -293,21 +317,41 @@ def fused_count_extract(
     # hot_ids, hot_counts, flat_idx, v0, v1] — every extra transaction
     # costs ~20-30 ms of relay latency regardless of size
     combo = np.asarray(combo_dev)
-    n_hot, total, n_cand = int(combo[0]), int(combo[1]), int(combo[2])
-    info = FusedInfo(n_hot, total)
-    if n_hot == 0:
+    info = _combo_info(combo, k_cap, p_cap)
+    if info.hot_tiles == 0:
         return *_EMPTY, info
-    if n_hot > k_cap or n_cand > p_cap:
+    if info.fallback:
         # capacity overflow: fetch the full counts and run the batched
-        # gather + host extraction
+        # gather + host extraction (degraded mode — surfaced via
+        # ``info.fallback`` so callers can log/count it)
+        counts_np = np.asarray(counts_dev)
         offs, vals = extract_hot_tiles_device(
-            pat, arr_device, np.asarray(counts_dev), valid_count,
+            pat, arr_device, counts_np, valid_count,
             tile_elems, grid_offset,
         )
+        info = info._replace(
+            candidates=len(offs),
+            d2h_bytes=info.d2h_bytes + counts_np.nbytes,
+        )
         return offs, vals, info
-    if n_cand == 0:
-        return *_EMPTY, info
+    offsets, values = _parse_combo(combo, k_cap, p_cap, tile_elems,
+                                   grid_offset)
+    return offsets, values, info
 
+
+def _combo_info(combo: np.ndarray, k_cap: int, p_cap: int) -> FusedInfo:
+    n_hot, total, n_cand = int(combo[0]), int(combo[1]), int(combo[2])
+    return FusedInfo(
+        n_hot, total, candidates=n_cand, d2h_bytes=combo.nbytes,
+        fallback=n_hot > k_cap or n_cand > p_cap,
+    )
+
+
+def _parse_combo(combo, k_cap, p_cap, tile_elems, grid_offset):
+    """Decode one fused result buffer → (offsets, values)."""
+    n_cand = int(combo[2])
+    if n_cand == 0:
+        return _EMPTY
     hot = combo[3 : 3 + k_cap].astype(np.int64)
     base = 3 + 2 * k_cap
     flat_idx = combo[base : base + p_cap][:n_cand].astype(np.int64)
@@ -316,7 +360,187 @@ def fused_count_extract(
     slot, rel = flat_idx // tile_elems, flat_idx % tile_elems
     offsets = hot[slot] * tile_elems + rel + grid_offset
     values = np.stack([v0, v1], axis=1).astype(np.int64)
-    return offsets, values, info
+    return offsets, values
+
+
+def fused_multi_eligible(
+    pats: List[CompiledPattern],
+    tile_elems: int = TILE_ELEMS,
+    interpret: bool = False,
+) -> bool:
+    """True when :func:`fused_count_extract_multi` can run this batch (the
+    SWAR kernel's layout/shift constraints).  Callers use this to decide
+    whether to produce the packed corpus layout for the chunk."""
+    from .ops.scan_jnp import canonical_check_tables
+    from .ops.scan_pallas import LANES, pallas_compute_mode
+
+    width = np.dtype(pats[0].dtype).itemsize
+    if any(np.dtype(p.dtype).itemsize != width for p in pats):
+        return False
+    if tile_elems % (8 * LANES) != 0:
+        return False
+    if not interpret and pallas_compute_mode() != "swar":
+        return False
+    pair_sets, _, _ = canonical_check_tables(pats)
+    if any(len(prs) == 0 for prs in pair_sets):
+        return False
+    if any(cs >= LANES for prs in pair_sets for cs, _ in prs):
+        return False
+    return True
+
+
+def fused_count_extract_multi(
+    pats: List[CompiledPattern],
+    arr_device,
+    valid_count: int,
+    tile_elems: int = TILE_ELEMS,
+    k_cap: int | None = None,
+    p_cap: int = 1024,
+    interpret: bool = False,
+    grid_offset: int = 0,
+):
+    """Fused phases 1 + 2 for MANY patterns in ONE device dispatch.
+
+    The multi-keyword twin of :func:`fused_count_extract`: the corpus is
+    read from HBM once (``scan_pallas._tile_counts_swar_multi_call``
+    evaluates every pattern per tile, sharing SWAR diff arrays across
+    patterns), each pattern's hot tiles are gathered + exactly re-checked
+    on device, and the K result buffers come back as ONE D2H transaction.
+    Returns a list of ``(offsets, values, FusedInfo)`` per pattern, or
+    ``None`` when the batch is not SWAR-eligible (callers fall back to the
+    XLA multi-count path, ``scan_jnp.tile_counts_multi_xla``).
+
+    The reference runs its whole engine once per keyword
+    (``src/core/search_engine.cpp:23``); here K keywords cost one corpus
+    sweep plus O(total matches) transfer.
+    """
+    import jax.numpy as jnp
+
+    from .ops.scan_jnp import (
+        canonical_check_tables,
+        pattern_device_args,
+    )
+    from .ops.scan_pallas import (
+        LANES,
+        _swar_multi_gather_call,
+        pallas_gather_available,
+    )
+
+    if not fused_multi_eligible(pats, tile_elems, interpret):
+        return None
+    width = np.dtype(pats[0].dtype).itemsize
+    pair_sets, exp_list, active_list = canonical_check_tables(pats)
+
+    packed = arr_device.dtype == np.int32
+    if not packed:
+        return None
+    lanes32 = LANES * width // 4
+    data2d = (
+        arr_device
+        if getattr(arr_device, "ndim", 1) == 2
+        else arr_device.reshape(-1, lanes32)
+    )
+    rows_per_tile = tile_elems // LANES
+    num_tiles = data2d.shape[0] // rows_per_tile - 1
+
+    if k_cap is None:
+        k_cap = max(
+            auto_k_cap(pat, valid_count, tile_elems,
+                       int(np.count_nonzero(act)))
+            for pat, act in zip(pats, active_list)
+        )
+
+    # rectangular (K, C) expected/active tables, padded with inactive slots
+    K = len(pats)
+    c_pad = max(len(e) for e in exp_list)
+    ones_pat = 0x01010101 if width == 1 else 0x00010001
+    exp_mat = np.zeros((K, c_pad), dtype=np.uint64)
+    act_mat = np.zeros((K, c_pad), dtype=np.int64)
+    pair_sets_padded = []
+    for k, (prs, e, a) in enumerate(zip(pair_sets, exp_list, active_list)):
+        exp_mat[k, : len(e)] = e.astype(np.uint64)
+        act_mat[k, : len(a)] = np.where(a, -1, 0)
+        # pad pairs to c_pad with inactive (1, 0) checks so the static
+        # pair grid is rectangular
+        pair_sets_padded.append(
+            tuple(prs) + tuple((1, 0) for _ in range(c_pad - len(prs)))
+        )
+    expected = jnp.asarray(
+        ((exp_mat * ones_pat) & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    )
+    active = jnp.asarray(act_mat.astype(np.int32))  # -1 live, 0 padding
+
+    # shared dispatch-block geometry (same auto-sizing as
+    # swar_dispatch_args) + per-pattern boundary encodings
+    block_rows, fpb = rows_per_tile, 1
+    max_block_rows = (2 * 1024 * 1024) // (LANES * width)
+    while (
+        fpb * 2 <= 1024
+        and block_rows * 2 <= max_block_rows
+        and num_tiles % (fpb * 2) == 0
+    ):
+        fpb *= 2
+        block_rows *= 2
+    block_elems = block_rows * LANES
+    valid = np.stack(
+        [
+            [
+                (valid_count - p.length) // block_elems,
+                (valid_count - p.length) % block_elems,
+            ]
+            for p in pats
+        ]
+    ).astype(np.int32)
+    vtvr = jnp.asarray(
+        [[valid_count // tile_elems, valid_count % tile_elems]] * K,
+        dtype=jnp.int32,
+    )
+    exp_exacts, recoveries, pairs_exacts = [], [], []
+    for p in pats:
+        _, _, ee, rec = pattern_device_args(p)
+        exp_exacts.append(ee)
+        recoveries.append(rec)
+        pairs_exacts.append(
+            tuple(
+                (int(c), int(pp))
+                for c, pp in zip(p.chk_shift_cur, p.chk_shift_prev)
+            )
+        )
+    gather_kernel = interpret or pallas_gather_available()
+    counts_dev, combos_dev = _swar_multi_gather_call(
+        data2d, expected, active,
+        jnp.asarray(valid), vtvr, tuple(exp_exacts), tuple(recoveries),
+        pair_sets=tuple(pair_sets_padded), tile_rows=block_rows,
+        width=width, interpret=interpret, fine_per_block=fpb,
+        k_cap=k_cap, rows_per_tile=rows_per_tile, tile_elems=tile_elems,
+        p_cap=p_cap, lengths=tuple(p.length for p in pats),
+        pairs_exacts=tuple(pairs_exacts),
+        signeds=tuple(p.signed_compare for p in pats),
+        gather_kernel=gather_kernel,
+    )
+    combos = np.asarray(combos_dev).reshape(K, -1)
+    out = []
+    for k, p in enumerate(pats):
+        info = _combo_info(combos[k], k_cap, p_cap)
+        if info.hot_tiles == 0:
+            out.append((*_EMPTY, info))
+        elif info.fallback:
+            counts_np = np.asarray(counts_dev[k])
+            offs, vals = extract_hot_tiles_device(
+                p, arr_device, counts_np, valid_count, tile_elems,
+                grid_offset,
+            )
+            info = info._replace(
+                candidates=len(offs),
+                d2h_bytes=info.d2h_bytes + counts_np.nbytes,
+            )
+            out.append((offs, vals, info))
+        else:
+            offs, vals = _parse_combo(
+                combos[k], k_cap, p_cap, tile_elems, grid_offset
+            )
+            out.append((offs, vals, info))
+    return out
 
 
 def two_phase_candidates(

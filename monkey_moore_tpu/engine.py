@@ -386,18 +386,33 @@ class SearchEngine:
                     continue
                 want = (tiles_per_chunk + 1) * tile_elems
                 if mesh is not None:
-                    # Same two-phase design as single-device, with phase 1
-                    # under shard_map: per-device tile counts + one-ICI-hop
-                    # ppermute halo; phase 2 (exact extraction) is the
-                    # shared host tail below.
-                    from .parallel.sharded import sharded_tile_counts
+                    # The PRODUCTION fused step under shard_map: per-device
+                    # prefilter (SWAR Pallas kernel where it legalizes) +
+                    # one-ICI-hop ppermute tile halo + on-device exact
+                    # phase 2; one small per-device buffer crosses D2H.
+                    # Overflow falls back to host extraction driven by the
+                    # gathered global counts.
+                    from .parallel.sharded import sharded_fused_step
 
                     with timer.stage("decode"):
                         arr = self._decode_grid(data, a, e0, count_here)
                     with timer.stage("device_scan"):
-                        counts = sharded_tile_counts(
-                            pat, arr, mesh, count_here, tile_elems
+                        res_offs, res_vals, finfo, over = sharded_fused_step(
+                            pat, arr, mesh, count_here, tile_elems,
+                            use_pallas=cfg.use_pallas,
                         )
+                    if over is not None:
+                        t = -(-count_here // tile_elems)
+                        pad_arr = arr
+                        if len(pad_arr) < (t + 1) * tile_elems:
+                            pad_arr = np.pad(
+                                arr, (0, (t + 1) * tile_elems - len(arr))
+                            )
+                        with timer.stage("host_extract"):
+                            res_offs, res_vals = extract_hot_tiles(
+                                pat, pad_arr[:count_here], over, tile_elems
+                            )
+                    counts = None
                 elif resident is not None:
                     with timer.stage("device_scan"):
                         dev_arr = resident.grid_chunk(
@@ -439,13 +454,23 @@ class SearchEngine:
                 timer.stats.bytes_scanned += count_here * s
                 if counts is None:
                     hot_here = finfo.hot_tiles
+                    timer.stats.fused_steps += 1
+                    timer.stats.d2h_bytes += finfo.d2h_bytes
+                    if finfo.fallback:
+                        timer.stats.fused_fallbacks += 1
+                        log(
+                            "fused step overflow (hot=", finfo.hot_tiles,
+                            " cand=", finfo.candidates,
+                            "): counts-fetch fallback",
+                        )
                 else:
                     hot_here = int((counts > 0).sum())
                 if hot_here:
                     timer.stats.hot_tiles += hot_here
                     with timer.stage("host_extract"):
-                        if resident is not None:
+                        if counts is None:
                             # already extracted by the fused dispatch
+                            # (resident single-device or sharded mesh path)
                             offs, vals = res_offs, res_vals
                         else:
                             offs, vals = extract_hot_tiles(

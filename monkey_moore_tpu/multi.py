@@ -130,63 +130,24 @@ class MultiSearcher:
             pad_bytes=want * s + s,
         )
 
-        # Check tables, with simple-mode (adjacent-pair) patterns padded to a
-        # canonical shape: identical static pairs + traced active masks mean
-        # every batch of K plain keywords shares one executable regardless of
-        # the keywords or their lengths.
-        from .ops.scan_jnp import prefilter_check_indices, prefilter_expected
+        # Check tables via the shared canonical builder (simple-mode
+        # patterns padded so batches of plain keywords share executables).
+        from .dense import fused_count_extract_multi, fused_multi_eligible
+        from .ops.scan_jnp import canonical_check_tables
 
-        sel_idx = [prefilter_check_indices(pat) for pat in pats]
-        full_exp = [prefilter_expected(pat) for pat in pats]
-        full_simple = [
-            len(pat.chk_shift_cur) > 0
-            and all(
-                int(c) == int(p) + 1
-                for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
-            )
-            for pat in pats
-        ]
-        # canonical width: smallest pow2 (>=4) covering every simple
-        # pattern's highest selected check position, so batches with any
-        # mix of short keywords land on the same executable
-        c_max = max(
-            (
-                int(idx[-1]) + 1
-                for idx, is_s in zip(sel_idx, full_simple)
-                if is_s and len(idx)
-            ),
-            default=0,
-        )
-        if c_max:
-            c_max = max(4, 1 << (c_max - 1).bit_length())
-        raw_pairs, raw_exp, raw_active = [], [], []
-        for pat, idx, fexp, is_s in zip(pats, sel_idx, full_exp, full_simple):
-            if is_s:
-                # canonical adjacent-pair table with the SELECTED prefilter
-                # checks active at their own positions (check j = pair
-                # (j+1, j)); unselected/pad positions are inactive
-                exp = np.zeros(c_max, dtype=fexp.dtype)
-                act = np.zeros(c_max, dtype=bool)
-                exp[idx] = fexp[idx]
-                act[idx] = True
-                raw_pairs.append([(k + 1, k) for k in range(c_max)])
-                raw_exp.append(exp)
-                raw_active.append(act)
-            else:
-                raw_pairs.append(
-                    [
-                        (int(pat.chk_shift_cur[j]), int(pat.chk_shift_prev[j]))
-                        for j in idx
-                    ]
-                )
-                raw_exp.append(fexp[idx])
-                raw_active.append(np.ones(len(idx), dtype=bool))
-        pair_sets = tuple(tuple(prs) for prs in raw_pairs)
+        pair_sets, raw_exp, raw_active = canonical_check_tables(pats)
         lengths_arr = jnp.asarray(
             [pat.length for pat in pats], dtype=jnp.int32
         )
         expected = tuple(jnp.asarray(e) for e in raw_exp)
         active = tuple(jnp.asarray(a) for a in raw_active)
+
+        # PRODUCTION path: one fused SWAR dispatch per chunk evaluates every
+        # keyword (corpus read once), gathers + exactly re-checks hot tiles
+        # on device, and ships one packed buffer — no host re-decode at all.
+        use_fused = resident is not None and fused_multi_eligible(
+            pats, tile_elems
+        )
 
         per_group = [dict() for _ in pats]
         candidate_info = [dict() for _ in pats]
@@ -208,7 +169,7 @@ class MultiSearcher:
                     continue
                 if resident is not None:
                     dev_arr = resident.grid_chunk(
-                        s, self.endianness, a, e0, want
+                        s, self.endianness, a, e0, want, packed=use_fused
                     )
                     arr_host = None
                 else:
@@ -218,6 +179,27 @@ class MultiSearcher:
                             arr_host, (0, want - len(arr_host))
                         )
                     dev_arr = jnp.asarray(arr_host)
+
+                def emit(pi, offs, vals):
+                    keep = offs < chunk_elems
+                    offs, vals = offs[keep], vals[keep]
+                    for off, val in zip(offs.tolist(), vals.tolist()):
+                        e_global = e0 + off
+                        byte_off = a + e_global * s
+                        block_id = byte_off // self.block_size
+                        per_group[pi].setdefault(
+                            (block_id, a), []
+                        ).append(e_global)
+                        candidate_info[pi][(a, e_global)] = (byte_off, val)
+
+                if use_fused:
+                    fused = fused_count_extract_multi(
+                        pats, dev_arr, count_here, tile_elems=tile_elems
+                    )
+                    for pi, (offs, vals, _info) in enumerate(fused):
+                        emit(pi, offs, vals)
+                    continue
+
                 counts_all = tile_counts_multi_xla(
                     dev_arr,
                     jnp.int32(count_here),
@@ -228,28 +210,24 @@ class MultiSearcher:
                     tile_elems=tile_elems,
                 )
                 counts_np = [np.asarray(c) for c in counts_all]
-                if any(c.any() for c in counts_np):
-                    if arr_host is None:
-                        arr_host = self._decode_grid(data, a, e0, count_here)
-                    for pi, counts in enumerate(counts_np):
-                        if not counts.any():
-                            continue
+                for pi, counts in enumerate(counts_np):
+                    if not counts.any():
+                        continue
+                    if resident is not None:
+                        # extract from the device-resident grid (no
+                        # whole-chunk host re-decode)
+                        from .dense import extract_hot_tiles_device
+
+                        offs, vals = extract_hot_tiles_device(
+                            pats[pi], dev_arr, counts, count_here,
+                            tile_elems,
+                        )
+                    else:
                         offs, vals = extract_hot_tiles(
                             pats[pi], arr_host[:count_here], counts,
                             tile_elems,
                         )
-                        keep = offs < chunk_elems
-                        offs, vals = offs[keep], vals[keep]
-                        for off, val in zip(offs.tolist(), vals.tolist()):
-                            e_global = e0 + off
-                            byte_off = a + e_global * s
-                            block_id = byte_off // self.block_size
-                            per_group[pi].setdefault(
-                                (block_id, a), []
-                            ).append(e_global)
-                            candidate_info[pi][(a, e_global)] = (
-                                byte_off, val,
-                            )
+                    emit(pi, offs, vals)
 
         out: List[List[SearchResult]] = []
         for pi, pat in enumerate(pats):

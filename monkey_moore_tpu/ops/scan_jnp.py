@@ -35,6 +35,7 @@ __all__ = [
     "scan_chunk",
     "tile_counts_xla",
     "tile_counts_gather_xla",
+    "fused_body_xla",
     "pattern_device_args",
 ]
 
@@ -344,14 +345,7 @@ def exact_phase2(
     return n_cand, idx, v0, v1
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "pairs", "length", "tile_elems", "k_cap", "span", "p_cap",
-        "signed_compare", "pairs_exact",
-    ),
-)
-def tile_counts_gather_xla(
+def fused_body_xla(
     data: jnp.ndarray,
     valid_count: jnp.ndarray,
     expected_ty: jnp.ndarray,
@@ -369,10 +363,15 @@ def tile_counts_gather_xla(
     pairs_exact: tuple,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused :func:`tile_counts_xla` + hot-tile gather + on-device EXACT
-    extraction (:func:`exact_phase2`) in ONE dispatch — the XLA twin of
+    extraction (:func:`exact_phase2`) — the XLA twin of
     ``scan_pallas.tile_counts_gather_pallas``; returns ``(counts, combo)``
     where combo = ``[n_hot, total, n_cand, hot_ids[k], hot_counts[k],
     flat_idx[p], v0[p], v1[p]]`` as int32, the step's single D2H buffer.
+
+    Plain traced body (no jit wrapper) so it can also serve as the
+    per-device step of the multi-device ``shard_map`` scan
+    (``parallel/sharded.py``); the single-device entry point is
+    :func:`tile_counts_gather_xla`.
 
     Element-index gather: requires ``data.shape[0] < 2**31`` (chunked engine
     paths; huge resident corpora use the Pallas row gather instead).
@@ -382,15 +381,16 @@ def tile_counts_gather_xla(
     )
     hot = jnp.nonzero(counts, size=k_cap, fill_value=0)[0].astype(jnp.int32)
     nhot = jnp.sum((counts > 0).astype(jnp.int32))
-    # gather whole tiles (2 per slot: tile + halo) via a free reshape —
-    # far fewer DMA descriptors than an element- or row-index gather
-    dataT = data.reshape(-1, tile_elems)
-    idx = jnp.clip(
-        hot[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :],
-        0,
-        dataT.shape[0] - 1,
-    )
-    slots = dataT[idx].reshape(k_cap, -1)[:, :span]
+    # gather whole tiles (2 per slot: tile + halo) with vmapped dynamic
+    # slices: O(k_cap) temporary memory.  (A reshape(-1, tile_elems) + take
+    # retiles the whole array under TPU tiled layouts, reserving a
+    # corpus-sized temp — the round-2 8 GiB HBM OOM.)  Slices never read
+    # out of bounds: hot <= T-1 and data holds T+1 tiles.
+    slots = jax.vmap(
+        lambda h: jax.lax.dynamic_slice(
+            data, (h * jnp.int32(tile_elems),), (2 * tile_elems,)
+        )
+    )(hot)[:, :span]
     n_cand, flat_idx, v0, v1 = exact_phase2(
         slots, hot, nhot, vtvr[0], vtvr[1],
         tile_elems=tile_elems, length=length, pairs_exact=pairs_exact,
@@ -408,6 +408,79 @@ def tile_counts_gather_xla(
         ]
     )
     return counts, combo
+
+
+tile_counts_gather_xla = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pairs", "length", "tile_elems", "k_cap", "span", "p_cap",
+        "signed_compare", "pairs_exact",
+    ),
+)(fused_body_xla)
+
+
+def canonical_check_tables(pats):
+    """Selected prefilter checks for a batch of patterns, with simple-mode
+    patterns padded to a canonical shape: identical static pairs + traced
+    active masks mean every batch of K plain keywords shares one compiled
+    executable regardless of the keywords or their lengths.
+
+    Canonicalizable = the check table is dense from zero (check j uses
+    pair (j+1, j)).  Adjacency alone is NOT enough: a leading-wildcard
+    keyword like "?bcde" compiles to adjacent checks starting at (2, 1),
+    and remapping those onto the canonical table would test windows
+    shifted by the leading-wildcard count.
+
+    Returns ``(pair_sets, exp_list, active_list)`` — static pair tuples,
+    element-dtype expected arrays, and bool active masks, one per pattern.
+    Shared by the XLA multi-count path (``tile_counts_multi_xla``) and the
+    SWAR fused multi path (``scan_pallas._tile_counts_swar_multi_call``).
+    """
+    sel_idx = [prefilter_check_indices(pat) for pat in pats]
+    full_exp = [prefilter_expected(pat) for pat in pats]
+    full_simple = [
+        len(pat.chk_shift_cur) > 0
+        and all(
+            int(c) == j + 1 and int(p) == j
+            for j, (c, p) in enumerate(
+                zip(pat.chk_shift_cur, pat.chk_shift_prev)
+            )
+        )
+        for pat in pats
+    ]
+    # canonical width: smallest pow2 (>=4) covering every simple pattern's
+    # highest selected check position, so batches with any mix of short
+    # keywords land on the same executable
+    c_max = max(
+        (
+            int(idx[-1]) + 1
+            for idx, is_s in zip(sel_idx, full_simple)
+            if is_s and len(idx)
+        ),
+        default=0,
+    )
+    if c_max:
+        c_max = max(4, 1 << (c_max - 1).bit_length())
+    raw_pairs, raw_exp, raw_active = [], [], []
+    for pat, idx, fexp, is_s in zip(pats, sel_idx, full_exp, full_simple):
+        if is_s:
+            exp = np.zeros(c_max, dtype=fexp.dtype)
+            act = np.zeros(c_max, dtype=bool)
+            exp[idx] = fexp[idx]
+            act[idx] = True
+            raw_pairs.append(tuple((k + 1, k) for k in range(c_max)))
+            raw_exp.append(exp)
+            raw_active.append(act)
+        else:
+            raw_pairs.append(
+                tuple(
+                    (int(pat.chk_shift_cur[j]), int(pat.chk_shift_prev[j]))
+                    for j in idx
+                )
+            )
+            raw_exp.append(fexp[idx])
+            raw_active.append(np.ones(len(idx), dtype=bool))
+    return tuple(raw_pairs), raw_exp, raw_active
 
 
 @functools.partial(

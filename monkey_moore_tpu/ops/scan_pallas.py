@@ -140,6 +140,113 @@ def pallas_available() -> bool:
     return pallas_compute_mode() is not None
 
 
+def _run_probe_gather() -> None:
+    """Compile-probe the scalar-prefetch tile gather (tiny shapes)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(ids_ref, in_ref, out_ref):
+        out_ref[:] = in_ref[:]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(2, 2),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i, j, ids: (ids[i] + j, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i, j, ids: (i * 2 + j, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((32, 128), jnp.int32),
+    )(
+        jnp.zeros(2, dtype=jnp.int32),
+        jnp.zeros((24, 128), dtype=jnp.int32),
+    )
+    jax.block_until_ready(out)
+
+
+def pallas_gather_available() -> bool:
+    """True when the dynamic (scalar-prefetch) hot-tile gather kernel
+    compiles on this toolchain (probed once; ``MMTPU_PALLAS_GATHER=0``
+    forces the XLA row-gather fallback)."""
+    if "gather" in _PALLAS_PROBE:
+        return _PALLAS_PROBE["gather"]
+    import os
+
+    forced = os.environ.get("MMTPU_PALLAS_GATHER", "").strip()
+    if forced == "0":
+        _PALLAS_PROBE["gather"] = False
+        return False
+    ok = False
+    if jax.default_backend() in ("tpu", "axon"):
+        try:
+            _run_probe_gather()
+            ok = True
+        except Exception:
+            ok = False
+    _PALLAS_PROBE["gather"] = ok
+    return ok
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_cap", "rows_per_tile", "interpret")
+)
+def _gather_tiles_call(
+    data2d: jnp.ndarray,
+    hot: jnp.ndarray,
+    *,
+    k_cap: int,
+    rows_per_tile: int,
+    interpret: bool,
+):
+    """Gather ``k_cap`` hot fine tiles (plus each tile's successor, which
+    holds its halo) out of the corpus with data-dependent DMA.
+
+    The BlockSpec index map reads the hot-tile ids from a scalar-prefetch
+    operand, so each grid step DMAs one (rows_per_tile, lanes) block from
+    HBM — **O(k_cap) temporary memory**.  This replaces a
+    ``data2d.reshape(-1, tile_w)`` + take formulation whose retiling
+    materialized a second corpus-sized buffer (compile-time HBM OOM at
+    8 GiB on a 16 GiB chip).
+
+    ``hot`` ids are in fine-tile units; ``data2d`` must hold at least
+    ``max(hot) + 2`` tiles of ``rows_per_tile`` rows (guaranteed by the
+    counts contract: T counted tiles + one trailing halo tile).  Returns
+    ``(k_cap * 2 * rows_per_tile, lanes)`` with slot i's span at rows
+    ``[i * 2 * rows_per_tile, (i + 1) * 2 * rows_per_tile)``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, lanes = data2d.shape
+
+    def kernel(ids_ref, in_ref, out_ref):
+        out_ref[:] = in_ref[:]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k_cap, 2),
+        in_specs=[
+            pl.BlockSpec(
+                (rows_per_tile, lanes), lambda i, j, ids: (ids[i] + j, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows_per_tile, lanes), lambda i, j, ids: (i * 2 + j, 0)
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (k_cap * 2 * rows_per_tile, lanes), data2d.dtype
+        ),
+        interpret=interpret,
+    )(hot, data2d)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("pairs", "length", "tile_rows", "widen", "interpret"),
@@ -508,6 +615,210 @@ def _tile_counts_swar_call(
     return raw.reshape(num_tiles, 8 * 128)[:, :fine_per_block].reshape(-1)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pair_sets", "tile_rows", "width", "interpret", "fine_per_block",
+    ),
+)
+def _tile_counts_swar_multi_call(
+    packed2d: jnp.ndarray,
+    expected: jnp.ndarray,
+    active: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    pair_sets: Tuple[Tuple[Tuple[int, int], ...], ...],
+    tile_rows: int,
+    width: int,
+    interpret: bool,
+    fine_per_block: int = 1,
+):
+    """SWAR tile-count kernel for MANY patterns in ONE pass over HBM.
+
+    The multi-keyword twin of :func:`_tile_counts_swar_call`: the corpus
+    tile is loaded into VMEM once and every pattern's checks are evaluated
+    against it — HBM traffic is 1x regardless of the batch size, and the
+    carry-free SWAR diff arrays are shared across patterns whose checks
+    use the same bridge distance (a batch of plain keywords costs ONE
+    subtraction total plus per-pattern xors).  This is the device core of
+    ``multi.MultiSearcher``; the reference re-reads and re-scans the whole
+    file per keyword (``src/core/search_engine.cpp:120-127``).
+
+    ``expected``: (K, C_max) int32, pre-splatted per word; ``active``:
+    (K, C_max) int32 full-word masks (-1 live, 0 padding) so canonically
+    padded batches share one executable; ``valid``: (K, 2) per-pattern
+    [boundary-block, remainder] encodings (patterns may differ in length).
+    Returns a tuple of K int32[T] count arrays.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, lanes32 = packed2d.shape
+    assert tile_rows % 8 == 0
+    K = len(pair_sets)
+    if fine_per_block == 1:
+        num_tiles = rows // tile_rows - 1
+    else:
+        fine_rows = tile_rows // fine_per_block
+        assert fine_rows % 8 == 0 and tile_rows % fine_per_block == 0
+        num_tiles = (rows - fine_rows) // tile_rows
+    k_per_word = 4 // width
+    ebits = 8 * width
+    if width == 1:
+        H, LOW, ONES = 0x80808080, 0x7F7F7F7F, 0x01010101
+    else:
+        H, LOW, ONES = 0x80008000, 0x7FFF7FFF, 0x00010001
+
+    def kernel(expected_ref, active_ref, valid_ref, tile_ref, next_ref,
+               *out_refs):
+        i = pl.program_id(0)
+        tile = tile_ref[:]
+        nxt = next_ref[:]
+        hH, hLOW, hONES = _i32c(H), _i32c(LOW), _i32c(ONES)
+
+        ext = jnp.concatenate([tile, nxt], axis=0)
+        ext_down = jnp.concatenate([tile[1:], nxt, nxt[7:8]], axis=0)
+
+        def swar_sub(x, y):
+            return ((x | hH) - (y & hLOW)) ^ ((x ^ ~y) & hH)
+
+        def make_shift(A, A_down):
+            cache = {}
+
+            def lane(q):
+                if q == 0:
+                    return A
+                if q == lanes32:
+                    return A_down
+                if q not in cache:
+                    cache[q] = jnp.concatenate(
+                        [A[:, q:], A_down[:, :q]], axis=1
+                    )
+                return cache[q]
+
+            def elem(s):
+                q, r = divmod(s * width, 4)
+                lo = lane(q)
+                if r == 0:
+                    return lo
+                return jax.lax.shift_right_logical(lo, jnp.int32(8 * r)) | (
+                    lane(q + 1) << jnp.int32(32 - 8 * r)
+                )
+
+            return elem
+
+        ext_shift = make_shift(ext, ext_down)
+
+        # diff arrays + their shift closures, shared ACROSS patterns by
+        # bridge distance
+        dcache: dict = {}
+        scache: dict = {}
+
+        def get_D(d):
+            if d not in dcache:
+                dcache[d] = swar_sub(ext_shift(d), ext)
+            return dcache[d]
+
+        def get_shift(d):
+            if d not in scache:
+                D = get_D(d)
+                scache[d] = make_shift(
+                    D, jnp.concatenate([D[1:], D[-1:]], axis=0)
+                )
+            return scache[d]
+
+        def popcount(zz):
+            ones = jax.lax.shift_right_logical(
+                zz, jnp.int32(ebits - 1)
+            ) & hONES
+            return jax.lax.shift_right_logical(
+                ones * hONES, jnp.int32(32 - ebits)
+            )
+
+        rows_per_fine = tile_rows // fine_per_block
+        rr = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        slot = rr * 128 + cc
+
+        for k, pairs in enumerate(pair_sets):
+            acc = None
+            for c, (cs, ps) in enumerate(pairs):
+                D = get_D(cs - ps)
+                v = D if ps == 0 else get_shift(cs - ps)(ps)
+                # padding checks carry active mask 0 → contribute nothing
+                diff = (v ^ expected_ref[k, c]) & active_ref[k, c]
+                acc = diff if acc is None else acc | diff
+            if acc is None:
+                acc = jnp.zeros(ext.shape, dtype=jnp.int32)
+            acc = acc[:tile_rows]
+            t = (acc & hLOW) + hLOW
+            z = ~(t | acc | hLOW)
+
+            def write(zz, out_ref=out_refs[k]):
+                cnt = popcount(zz)
+                if fine_per_block == 1:
+                    out_ref[:] = jnp.broadcast_to(jnp.sum(cnt), (8, 128))
+                    return
+                out = jnp.zeros((8, 128), jnp.int32)
+                for f in range(fine_per_block):
+                    s = jnp.sum(
+                        cnt[f * rows_per_fine : (f + 1) * rows_per_fine]
+                    )
+                    out = out + jnp.where(slot == f, s, 0)
+                out_ref[:] = out
+
+            vt, vr = valid_ref[k, 0], valid_ref[k, 1]
+            write(z)
+
+            @pl.when(i == vt)
+            def _boundary(z=z, vr=vr, write=write):
+                r_ = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
+                c_ = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+                pos0 = (r_ * lanes32 + c_) * k_per_word
+                top = 0x80 if width == 1 else 0x8000
+                vm = None
+                for j in range(k_per_word):
+                    bit = _i32c(top << (ebits * j))
+                    keep = jnp.where(pos0 + j <= vr, bit, 0)
+                    vm = keep if vm is None else vm | keep
+                write(z & vm)
+
+            @pl.when(i > vt)
+            def _past(out_ref=out_refs[k]):
+                out_ref[:] = jnp.zeros((8, 128), jnp.int32)
+
+    out_sds = jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.int32)
+    raws = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # expected (K, C)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # active (K, C)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # valid (K, 2)
+            pl.BlockSpec(
+                (tile_rows, lanes32), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, lanes32),
+                lambda i: ((i + 1) * (tile_rows // 8), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i: (i, 0)) for _ in range(K)
+        ],
+        out_shape=[out_sds] * K,
+        interpret=interpret,
+    )(expected, active, valid, packed2d, packed2d)
+    if fine_per_block == 1:
+        return tuple(raw[::8, 0] for raw in raws)
+    return tuple(
+        raw.reshape(num_tiles, 8 * 128)[:, :fine_per_block].reshape(-1)
+        for raw in raws
+    )
+
+
 def swar_dispatch_args(
     pat: CompiledPattern,
     num_fine_tiles: int,
@@ -571,6 +882,7 @@ def swar_dispatch_args(
 def _hot_slots_and_combo(
     data2d, counts, exact_args, *, k_cap, rows_per_tile,
     span_elems, tile_elems, length, signed_compare, p_cap, width, packed,
+    gather_kernel, interpret,
 ):
     """Device-side tail of the fused step: gather the first ``k_cap`` hot
     tiles' rows, run EXACT phase 2 on them (``scan_jnp.exact_phase2`` — the
@@ -585,28 +897,38 @@ def _hot_slots_and_combo(
     ~25-45 MB/s — fetching hot-tile rows (or the full counts array) costs
     more than the scan itself; candidates + recovery values are O(matches).
 
-    Row-index arithmetic (not element-index) keeps the gather indices
-    within int32 even for >2^31-element corpora (an 8 GiB u8 corpus has
-    2^33 elements but 2^23 rows).  ``total`` is an int32 stats field (may
-    wrap past 2^31 prefilter hits; extraction never uses it).
+    The gather itself is **layout-preserving and O(k_cap) memory**: either
+    the scalar-prefetch Pallas DMA kernel (:func:`_gather_tiles_call`,
+    ``gather_kernel=True``) or an XLA row-index take.  (An earlier
+    ``reshape(-1, tile_w)`` formulation retiled the whole corpus —
+    (rows, lanes) → (rows/8, 8*lanes) changes the TPU tiled layout — and
+    XLA reserved a corpus-sized temp: compile-time HBM OOM at 8 GiB.)
+    Row-index arithmetic keeps indices within int32 even for
+    >2^31-element corpora (an 8 GiB u8 corpus has 2^33 elements but 2^23
+    rows).  ``total`` is an int32 stats field (may wrap past 2^31
+    prefilter hits; extraction never uses it).
     """
     from .scan_jnp import exact_phase2
 
     vtvr, expected_exact, recovery, pairs_exact = exact_args
     hot = jnp.nonzero(counts, size=k_cap, fill_value=0)[0].astype(jnp.int32)
     nhot = jnp.sum((counts > 0).astype(jnp.int32))
-    # gather whole fine tiles as single rows (a free bitcast reshape):
-    # 2 DMA descriptors per slot (tile + halo tile) instead of
-    # rows_per_tile + 1 — per-row gather latency (~8 us/row) measured
-    # ~38 ms at K=512 in the row-index formulation
-    tile_w = rows_per_tile * data2d.shape[1]
-    dataT = data2d.reshape(-1, tile_w)
-    idx = jnp.clip(
-        hot[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :],
-        0,
-        dataT.shape[0] - 1,
-    )
-    fetched = dataT[idx]  # (K, 2, tile_w)
+    lanes = data2d.shape[1]
+    tile_w = rows_per_tile * lanes
+    if gather_kernel:
+        # 2 DMA blocks per slot (tile + halo tile), addresses from the
+        # scalar-prefetched hot ids
+        raw = _gather_tiles_call(
+            data2d, hot, k_cap=k_cap, rows_per_tile=rows_per_tile,
+            interpret=interpret,
+        )
+        fetched = raw.reshape(k_cap, 2, tile_w)
+    else:
+        # XLA fallback: row-index take (slower per row, but O(k_cap) temp)
+        ridx = hot[:, None] * jnp.int32(rows_per_tile) + jnp.arange(
+            2 * rows_per_tile, dtype=jnp.int32
+        )[None, :]
+        fetched = data2d[ridx].reshape(k_cap, 2, tile_w)
     if packed:
         # unpack little-endian i32 words to elements (tiny: K slots only)
         w = fetched.reshape(k_cap, -1).astype(jnp.uint32)
@@ -646,14 +968,14 @@ def _hot_slots_and_combo(
         "pairs", "length", "tile_rows", "width", "interpret",
         "fine_per_block", "k_cap", "rows_per_tile",
         "span_elems", "tile_elems", "signed_compare", "p_cap",
-        "pairs_exact",
+        "pairs_exact", "gather_kernel",
     ),
 )
 def _swar_counts_gather_call(
     packed2d, expected, valid, vtvr, expected_exact, recovery, *,
     pairs, length, tile_rows, width, interpret, fine_per_block, k_cap,
     rows_per_tile, span_elems, tile_elems, signed_compare,
-    p_cap, pairs_exact,
+    p_cap, pairs_exact, gather_kernel,
 ):
     counts = _tile_counts_swar_call(
         packed2d, expected, valid, pairs=pairs, length=length,
@@ -666,7 +988,7 @@ def _swar_counts_gather_call(
         k_cap=k_cap, rows_per_tile=rows_per_tile,
         span_elems=span_elems, tile_elems=tile_elems, length=length,
         signed_compare=signed_compare, p_cap=p_cap, width=width,
-        packed=True,
+        packed=True, gather_kernel=gather_kernel, interpret=interpret,
     )
     return counts, combo
 
@@ -677,12 +999,14 @@ def _swar_counts_gather_call(
         "pairs", "length", "tile_rows", "widen", "interpret",
         "k_cap", "span_elems", "tile_elems",
         "signed_compare", "p_cap", "width", "pairs_exact",
+        "gather_kernel",
     ),
 )
 def _native_counts_gather_call(
     data2d, expected, valid, vtvr, expected_exact, recovery, *,
     pairs, length, tile_rows, widen, interpret, k_cap,
     span_elems, tile_elems, signed_compare, p_cap, width, pairs_exact,
+    gather_kernel,
 ):
     counts = _tile_counts_call(
         data2d, expected, valid, pairs=pairs, length=length,
@@ -694,9 +1018,51 @@ def _native_counts_gather_call(
         k_cap=k_cap, rows_per_tile=tile_rows,
         span_elems=span_elems, tile_elems=tile_elems, length=length,
         signed_compare=signed_compare, p_cap=p_cap, width=width,
-        packed=False,
+        packed=False, gather_kernel=gather_kernel, interpret=interpret,
     )
     return counts, combo
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pair_sets", "tile_rows", "width", "interpret", "fine_per_block",
+        "k_cap", "rows_per_tile", "tile_elems", "p_cap", "lengths",
+        "pairs_exacts", "signeds", "gather_kernel",
+    ),
+)
+def _swar_multi_gather_call(
+    packed2d, expected, active, valid, vtvr, exp_exacts, recoveries, *,
+    pair_sets, tile_rows, width, interpret, fine_per_block, k_cap,
+    rows_per_tile, tile_elems, p_cap, lengths, pairs_exacts, signeds,
+    gather_kernel,
+):
+    """Fused multi-pattern step: ONE kernel pass over HBM counting every
+    pattern (:func:`_tile_counts_swar_multi_call`), then the per-pattern
+    fused hot-tile gather + EXACT phase 2 (:func:`_hot_slots_and_combo`),
+    all in one executable.  Returns ``(counts_tuple, combos)`` where
+    ``combos`` is the K per-pattern result buffers concatenated — the
+    step's single D2H transaction for the whole keyword batch."""
+    counts = _tile_counts_swar_multi_call(
+        packed2d, expected, active, valid, pair_sets=pair_sets,
+        tile_rows=tile_rows, width=width, interpret=interpret,
+        fine_per_block=fine_per_block,
+    )
+    combos = []
+    for k in range(len(pair_sets)):
+        combos.append(
+            _hot_slots_and_combo(
+                packed2d, counts[k],
+                (vtvr[k], exp_exacts[k], recoveries[k], pairs_exacts[k]),
+                k_cap=k_cap, rows_per_tile=rows_per_tile,
+                span_elems=tile_elems + lengths[k] - 1,
+                tile_elems=tile_elems, length=lengths[k],
+                signed_compare=signeds[k], p_cap=p_cap, width=width,
+                packed=True, gather_kernel=gather_kernel,
+                interpret=interpret,
+            )
+        )
+    return counts, jnp.concatenate(combos)
 
 
 def tile_counts_gather_pallas(
@@ -753,6 +1119,9 @@ def tile_counts_gather_pallas(
         mode = (pallas_compute_mode() or "native") if not interpret else "native"
     if packed:
         mode = "swar"
+    # dynamic hot-tile gather: scalar-prefetch DMA kernel when it
+    # legalizes (always in interpret mode), XLA row take otherwise
+    gather_kernel = interpret or pallas_gather_available()
     if mode == "swar":
         expected_splat, valid, static = swar_dispatch_args(
             pat, num_tiles, valid_count, tile_rows
@@ -770,6 +1139,7 @@ def tile_counts_gather_pallas(
             recovery,
             interpret=interpret,
             rows_per_tile=tile_rows,
+            gather_kernel=gather_kernel,
             **exact,
             **static,
         )
@@ -792,6 +1162,7 @@ def tile_counts_gather_pallas(
         widen=mode == "i32",
         interpret=interpret,
         width=width,
+        gather_kernel=gather_kernel,
         **exact,
     )
 

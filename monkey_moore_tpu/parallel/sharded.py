@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.scan_jnp import match_bitmap, compact_matches, pattern_device_args
+from ..ops.scan_pallas import LANES as LANES_
 from ..pattern import CompiledPattern
 from .mesh import DATA_AXIS
 
@@ -30,6 +31,7 @@ __all__ = [
     "sharded_scan_fn",
     "sharded_candidates",
     "sharded_tile_counts",
+    "sharded_fused_step",
     "shard_grid",
 ]
 
@@ -191,6 +193,267 @@ def sharded_tile_counts(
     fn = _cached_counts_fn(mesh, pairs, pat.length, tile_elems)
     counts = fn(dev, valid_dev, jnp.asarray(exp_sel))
     return np.asarray(counts).reshape(-1)[:t_total]
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-device step: the PRODUCTION scan (Pallas SWAR prefilter +
+# on-device exact phase 2 + O(matches) D2H) under shard_map — each device
+# runs the same fused body the single-device path uses
+# (``dense.fused_count_extract``), with a one-ICI-hop ``ppermute`` halo of
+# one count tile.  This is the multi-chip analog of the reference's claim
+# that block parallelism is *the* scaling story
+# (``src/core/search_engine.cpp:82-175``).
+
+
+def _fused_mode(use_pallas: bool, interpret: bool, tile_elems: int) -> str:
+    """Per-device backend for the sharded fused step: ``"swar"`` (the
+    production Pallas kernel on its packed layout) or ``"xla"`` (every
+    other toolchain — element-dtype Pallas modes take the XLA body under
+    shard_map)."""
+    from ..ops.scan_pallas import LANES, pallas_compute_mode
+
+    if tile_elems % (8 * LANES) != 0:
+        return "xla"
+    if interpret:
+        # interpret-mode SWAR (CPU validation of the TPU path)
+        return "swar"
+    if not use_pallas:
+        return "xla"
+    return "swar" if pallas_compute_mode() == "swar" else "xla"
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_fused_fn(
+    mesh, *, pairs, length, tile_elems, k_cap, p_cap, signed_compare,
+    pairs_exact, mode, width, interpret, t_loc,
+):
+    import jax
+
+    from ..ops.scan_jnp import fused_body_xla
+    from ..ops.scan_pallas import (
+        _hot_slots_and_combo,
+        _tile_counts_swar_call,
+        pallas_gather_available,
+    )
+
+    n_dev = mesh.shape[DATA_AXIS]
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    span_elems = tile_elems + length - 1
+    gather_kernel = interpret or (
+        mode != "xla" and pallas_gather_available()
+    )
+
+    if mode == "xla":
+
+        def local_step(d_local, valid2, vtvr2, expected, exp_exact, rec):
+            halo = jax.lax.ppermute(
+                d_local[:tile_elems], DATA_AXIS, perm
+            )
+            ext = jnp.concatenate([d_local, halo])
+            counts, combo = fused_body_xla(
+                ext, valid2[0, 0], expected, vtvr2[0], exp_exact, rec,
+                pairs=pairs, length=length, tile_elems=tile_elems,
+                k_cap=k_cap, span=span_elems, p_cap=p_cap,
+                signed_compare=signed_compare, pairs_exact=pairs_exact,
+            )
+            return counts[None], combo[None]
+
+    else:
+        # SWAR Pallas body on the packed word layout (one row = LANES_
+        # elements); ``valid2`` carries the kernel's [boundary-block,
+        # remainder] encoding per device
+        rows_per_tile = tile_elems // LANES_
+        # dispatch-block grouping (same auto-sizing as swar_dispatch_args)
+        block_rows, fpb = rows_per_tile, 1
+        max_block_rows = (2 * 1024 * 1024) // (LANES_ * width)
+        while (
+            fpb * 2 <= 1024
+            and block_rows * 2 <= max_block_rows
+            and t_loc % (fpb * 2) == 0
+        ):
+            fpb *= 2
+            block_rows *= 2
+
+        def local_step(d2_local, valid2, vtvr2, expected, exp_exact, rec):
+            halo = jax.lax.ppermute(
+                d2_local[:rows_per_tile], DATA_AXIS, perm
+            )
+            ext = jnp.concatenate([d2_local, halo], axis=0)
+            counts = _tile_counts_swar_call(
+                ext, expected, valid2[0], pairs=pairs, length=length,
+                tile_rows=block_rows, width=width, interpret=interpret,
+                fine_per_block=fpb,
+            )
+            combo = _hot_slots_and_combo(
+                ext, counts, (vtvr2[0], exp_exact, rec, pairs_exact),
+                k_cap=k_cap, rows_per_tile=rows_per_tile,
+                span_elems=span_elems, tile_elems=tile_elems,
+                length=length, signed_compare=signed_compare,
+                p_cap=p_cap, width=width, packed=True,
+                gather_kernel=gather_kernel, interpret=interpret,
+            )
+            return counts[None], combo[None]
+
+    mapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(),
+        ),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_fused_step(
+    pat: CompiledPattern,
+    arr: np.ndarray,
+    mesh: Mesh,
+    valid_count: int,
+    tile_elems: int,
+    k_cap: int | None = None,
+    p_cap: int = 1024,
+    use_pallas: bool = True,
+    interpret: bool = False,
+    grid_offset: int = 0,
+):
+    """Fused phases 1 + 2 of one chunk across a device mesh in ONE
+    collective dispatch: per-device prefilter counts (SWAR Pallas kernel
+    where it legalizes, XLA body otherwise), ppermute tile halo, on-device
+    hot-tile gather + EXACT phase 2, one small per-device result buffer
+    D2H.  The multi-device twin of ``dense.fused_count_extract``.
+
+    Returns ``(offsets, values, info, overflow_counts)``.  When any
+    device overflows ``k_cap`` hot tiles or ``p_cap`` candidates,
+    ``overflow_counts`` is the global int32[T] count array (offsets/values
+    empty) and the caller runs host extraction — mirroring the
+    single-device fallback contract.
+    """
+    import jax
+
+    from ..dense import FusedInfo, _prefilter_sel, auto_k_cap
+    from ..ops.scan_jnp import pattern_device_args, prefilter_checks
+    from ..ops.scan_pallas import swar_host_view
+    from jax.sharding import NamedSharding
+
+    L = pat.length
+    d = mesh.shape[DATA_AXIS]
+    width = np.dtype(pat.dtype).itemsize
+    pairs, exp_sel, _ = _prefilter_sel(pat)
+    if k_cap is None:
+        k_cap = auto_k_cap(pat, valid_count, tile_elems, len(pairs))
+    mode = _fused_mode(use_pallas, interpret, tile_elems)
+    if not pairs:
+        mode = "xla"  # all-wildcard: every tile hot; take the simple body
+
+    arr = np.ascontiguousarray(arr, dtype=pat.dtype)
+    t_total = max(1, -(-valid_count // tile_elems))
+    t_loc = -(-t_total // d)
+    total = d * t_loc * tile_elems
+    if len(arr) < total:
+        arr = np.pad(arr, (0, total - len(arr)))
+    else:
+        arr = arr[:total]
+
+    e_loc = t_loc * tile_elems
+    bases = np.arange(d, dtype=np.int64) * e_loc
+    # per-device valid counts / boundary encodings (int32-safe clipping)
+    valid_loc = np.clip(valid_count - bases, 0, e_loc + tile_elems)
+    vtvr2 = np.stack(
+        [valid_loc // tile_elems, valid_loc % tile_elems], axis=1
+    ).astype(np.int32)
+    _, _, exp_exact, recovery = pattern_device_args(pat)
+    pairs_exact = tuple(
+        (int(c), int(p))
+        for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
+    )
+
+    if mode == "xla":
+        dev_in = jax.device_put(arr, NamedSharding(mesh, P(DATA_AXIS)))
+        valid2 = np.clip(valid_count - bases, 0, e_loc + tile_elems).astype(
+            np.int32
+        )[:, None]
+        expected_in = jnp.asarray(exp_sel)
+    else:
+        from ..ops.scan_pallas import swar_dispatch_args
+
+        expected_in, _, static = swar_dispatch_args(
+            pat, t_loc, valid_count, tile_elems // LANES_
+        )
+        block_elems = static["tile_rows"] * LANES_  # elements per block
+        lim = valid_count - L
+        lim_loc = np.clip(
+            lim - bases, -block_elems, (t_loc + 1) * tile_elems
+        )
+        valid2 = np.stack(
+            [lim_loc // block_elems, lim_loc % block_elems], axis=1
+        ).astype(np.int32)
+        packed = swar_host_view(arr).reshape(-1, LANES_ * width // 4)
+        dev_in = jax.device_put(packed, NamedSharding(mesh, P(DATA_AXIS)))
+
+    fn = _sharded_fused_fn(
+        mesh, pairs=pairs, length=L, tile_elems=tile_elems, k_cap=k_cap,
+        p_cap=p_cap, signed_compare=pat.signed_compare,
+        pairs_exact=pairs_exact, mode=mode, width=width,
+        interpret=interpret, t_loc=t_loc,
+    )
+    sharding_rows = NamedSharding(mesh, P(DATA_AXIS))
+    counts_dev, combos_dev = fn(
+        dev_in,
+        jax.device_put(valid2, sharding_rows),
+        jax.device_put(vtvr2, sharding_rows),
+        expected_in,
+        exp_exact,
+        recovery,
+    )
+    combos = np.asarray(combos_dev)  # (D, 3 + 2k + 3p)
+    n_hot = combos[:, 0]
+    n_cand = combos[:, 2]
+    info = FusedInfo(
+        int(n_hot.sum()), int(combos[:, 1].sum()),
+        candidates=int(n_cand.sum()), d2h_bytes=combos.nbytes,
+    )
+    if (n_hot > k_cap).any() or (n_cand > p_cap).any():
+        counts = np.asarray(counts_dev).reshape(-1)[:t_total]
+        info = info._replace(
+            fallback=True, d2h_bytes=info.d2h_bytes + counts.nbytes
+        )
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros((0, 2), dtype=np.int64),
+            info,
+            counts,
+        )
+
+    all_offs, all_vals = [], []
+    base3 = 3 + 2 * k_cap
+    for dev in range(d):
+        m = int(n_cand[dev])
+        if m == 0:
+            continue
+        row = combos[dev]
+        hot = row[3 : 3 + k_cap].astype(np.int64)
+        flat_idx = row[base3 : base3 + p_cap][:m].astype(np.int64)
+        v0 = row[base3 + p_cap : base3 + 2 * p_cap][:m]
+        v1 = row[base3 + 2 * p_cap : base3 + 3 * p_cap][:m]
+        slot, rel = flat_idx // tile_elems, flat_idx % tile_elems
+        offs = (hot[slot] + dev * t_loc) * tile_elems + rel + grid_offset
+        all_offs.append(offs)
+        all_vals.append(np.stack([v0, v1], axis=1).astype(np.int64))
+    if not all_offs:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros((0, 2), dtype=np.int64),
+            info,
+            None,
+        )
+    return (
+        np.concatenate(all_offs),
+        np.concatenate(all_vals),
+        info,
+        None,
+    )
 
 
 def sharded_candidates(

@@ -33,6 +33,12 @@ class SearchStats:
     hot_tiles: int = 0
     candidates: int = 0
     results: int = 0
+    #: fused steps that overflowed k_cap/p_cap and fell back to the
+    #: two-dispatch counts-fetch path (degraded: 5-10x slower per step on a
+    #: latency-dominated link) — surfaced so slow searches are explainable
+    fused_fallbacks: int = 0
+    fused_steps: int = 0
+    d2h_bytes: int = 0
 
     @property
     def total_seconds(self) -> float:
@@ -49,10 +55,17 @@ class SearchStats:
             for name, sec in sorted(self.stage_seconds.items())
         ]
         rate = self.scan_bytes_per_second / 1e9
+        degraded = (
+            f" | DEGRADED {self.fused_fallbacks}/{self.fused_steps} fused "
+            "steps overflowed to the counts-fetch path"
+            if self.fused_fallbacks
+            else ""
+        )
         return (
             f"scanned {self.bytes_scanned / 1e6:.1f} MB in "
             f"{self.total_seconds:.3f}s ({rate:.2f} GB/s scan) | "
             + " ".join(parts)
+            + degraded
         )
 
 

@@ -88,3 +88,23 @@ class TestMultiSearcher:
         ms = MultiSearcher(path, semantics=MatchSemantics.REFERENCE)
         got = ms.search(["sword"])
         assert [r.offset for r in got[0]] == [plants["sword"]]
+
+    def test_leading_wildcard_at_last_window(self, tmp_path, rng):
+        """Regression: a leading-wildcard keyword compiles to adjacent
+        checks starting at (2, 1) — remapping it onto the canonical
+        dense-from-zero table tested windows shifted by the leading
+        wildcard count, dropping matches at the last valid window."""
+        data = rng.integers(0, 256, 40_000).astype(np.uint8)
+        enc = np.array([ord(c) + 3 for c in "?bcde"], dtype=np.uint8)
+        data[-5:] = enc  # match at the very last valid window
+        mid = 17_000
+        data[mid : mid + 5] = enc
+        p = tmp_path / "lead.bin"
+        p.write_bytes(data.tobytes())
+        spec = {"keyword": "?bcde", "wildcard": "?"}
+        ms = MultiSearcher(p)
+        got = ms.search([spec])
+        cfg = SearchConfig(file_path=p, keyword="?bcde", wildcard="?")
+        single = SearchEngine(cfg).run()
+        assert [r.offset for r in got[0]] == [r.offset for r in single]
+        assert len(data) - 5 in [r.offset for r in got[0]]

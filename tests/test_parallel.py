@@ -135,6 +135,113 @@ class TestShardedTileCounts:
         assert counts_mesh.tolist() == counts_single.tolist()
 
 
+class TestShardedFusedStep:
+    """The PRODUCTION fused step (device prefilter + on-device exact
+    phase 2) under shard_map must equal the single-device scan exactly —
+    the multi-device twin of ``dense.fused_count_extract``."""
+
+    @pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+    def test_xla_body_matches_single(self, devices, n_dev, rng):
+        from monkey_moore_tpu.dense import two_phase_candidates
+        from monkey_moore_tpu.parallel.sharded import sharded_fused_step
+
+        tile_elems = 256
+        mesh = make_mesh(devices, n=n_dev)
+        n = 8 * 1024 + 123
+        data = rng.integers(0, 256, n).astype(np.uint8)
+        pat = compile_pattern("abcde")
+        kw = np.array(pat.keyword, dtype=np.int64)
+        t_loc = -(-(-(-n // tile_elems)) // n_dev)
+        e_loc = t_loc * tile_elems
+        plants = [3, n - 5] + [e_loc * i - 2 for i in range(1, n_dev)]
+        for i, pos in enumerate(plants):
+            if 0 <= pos <= n - 5:
+                data[pos : pos + 5] = ((kw + i) % 256).astype(np.uint8)
+        offs, vals, info, over = sharded_fused_step(
+            pat, data, mesh, n, tile_elems, use_pallas=False
+        )
+        assert over is None and not info.fallback
+        offs_s, vals_s = two_phase_candidates(pat, data, use_pallas=False)
+        order = np.argsort(offs)
+        assert offs[order].tolist() == offs_s.tolist()
+        assert vals[order].tolist() == vals_s.tolist()
+        assert info.candidates == len(offs_s)
+
+    def test_swar_interpret_matches_single(self, devices, rng):
+        """Exercises the production Pallas SWAR kernel + fused gather under
+        shard_map in interpret mode (the TPU path compiles the same
+        kernels)."""
+        from monkey_moore_tpu.dense import two_phase_candidates
+        from monkey_moore_tpu.parallel.sharded import sharded_fused_step
+
+        tile_elems = 8 * 1024
+        mesh = make_mesh(devices, n=4)
+        n = 8 * tile_elems + 100
+        data = rng.integers(0, 256, n).astype(np.uint8)
+        pat = compile_pattern("abcde")
+        kw = np.array(pat.keyword, dtype=np.int64)
+        t_loc = -(-(-(-n // tile_elems)) // 4)
+        e_loc = t_loc * tile_elems
+        plants = [3, n - 5] + [e_loc * i - 2 for i in range(1, 4)]
+        for i, pos in enumerate(plants):
+            if 0 <= pos <= n - 5:
+                data[pos : pos + 5] = ((kw + i) % 256).astype(np.uint8)
+        offs, vals, info, over = sharded_fused_step(
+            pat, data, mesh, n, tile_elems, interpret=True
+        )
+        assert over is None and not info.fallback
+        offs_s, vals_s = two_phase_candidates(pat, data, use_pallas=False)
+        order = np.argsort(offs)
+        assert offs[order].tolist() == offs_s.tolist()
+        assert vals[order].tolist() == vals_s.tolist()
+
+    def test_wildcard_16bit_xla(self, devices, rng):
+        from monkey_moore_tpu.dense import two_phase_candidates
+        from monkey_moore_tpu.parallel.sharded import sharded_fused_step
+
+        tile_elems = 128
+        mesh = make_mesh(devices, n=4)
+        n = 3000
+        data = rng.integers(0, 65536, n).astype(np.uint16)
+        pat = compile_pattern("ab*de", "*", dtype=np.uint16)
+        kw = [97, 98, 0, 100, 101]
+        for pos in (7, 1499, n - 5):
+            enc = [(c + 1000) % 65536 if c else 31337 for c in kw]
+            data[pos : pos + 5] = np.array(enc, dtype=np.uint16)
+        offs, vals, info, over = sharded_fused_step(
+            pat, data, mesh, n, tile_elems, use_pallas=False
+        )
+        assert over is None
+        offs_s, vals_s = two_phase_candidates(pat, data, use_pallas=False)
+        order = np.argsort(offs)
+        assert offs[order].tolist() == offs_s.tolist()
+        assert vals[order].tolist() == vals_s.tolist()
+
+    def test_overflow_returns_global_counts(self, devices):
+        from monkey_moore_tpu.dense import tile_counts
+        from monkey_moore_tpu.parallel.sharded import sharded_fused_step
+        import jax.numpy as jnp
+
+        mesh = make_mesh(devices, n=2)
+        tile_elems = 256
+        data = np.tile(np.array([97, 98], dtype=np.uint8), 2048)
+        pat = compile_pattern("abab")
+        offs, vals, info, over = sharded_fused_step(
+            pat, data, mesh, len(data), tile_elems, use_pallas=False,
+            p_cap=8,
+        )
+        assert info.fallback and over is not None
+        assert len(offs) == 0
+        t = -(-len(data) // tile_elems)
+        arr = np.zeros((t + 1) * tile_elems, dtype=np.uint8)
+        arr[: len(data)] = data
+        counts_single = tile_counts(
+            pat, jnp.asarray(arr), len(data), use_pallas=False,
+            tile_elems=tile_elems,
+        )
+        assert over.tolist() == counts_single.tolist()
+
+
 class TestHostRanges:
     def test_ranges_cover_file_with_halo(self):
         fs, L, s = 1000, 5, 2

@@ -329,6 +329,77 @@ class TestFusedCountExtract:
         offs, vals, info = fused_count_extract(pat, jnp.asarray(arr), n)
         assert info.hot_tiles == 0 and len(offs) == 0 and len(vals) == 0
 
+    def test_multi_pattern_fused_interpret(self, rng):
+        """fused_count_extract_multi (ONE dispatch, K patterns) must equal
+        per-pattern two_phase_candidates — exercised in interpret mode with
+        the same SWAR kernels the TPU compiles, including a canonical
+        plain-keyword batch, a leading-wildcard keyword, and a 12-char
+        keyword."""
+        import jax.numpy as jnp
+        from monkey_moore_tpu.dense import (
+            fused_count_extract_multi,
+            fused_multi_eligible,
+            two_phase_candidates,
+        )
+        from monkey_moore_tpu.ops.scan_pallas import LANES, swar_host_view
+
+        tile_elems = 8 * LANES
+        n = 8 * tile_elems + 124  # ragged tail
+        # contract: T counted tiles + one trailing halo tile, whole tiles
+        arr = np.zeros((-(-n // tile_elems) + 1) * tile_elems, dtype=np.uint8)
+        arr[:n] = rng.integers(0, 256, n)
+        kws = ["abcde", "zyxwv", "?bcde", "abcdefghijkl"]
+        pats = [
+            compile_pattern(k, "?" if "?" in k else 0) for k in kws
+        ]
+        for i, pat in enumerate(pats):
+            kw = (np.array(pat.keyword) + 5 + i).astype(np.uint8)
+            kw[~np.asarray(pat.is_literal)] = 123  # wildcard slot: anything
+            for pos in (7 + i, tile_elems - 2, n - len(kw)):
+                arr[pos : pos + len(kw)] = kw
+        assert fused_multi_eligible(pats, tile_elems, interpret=True)
+        dev = jnp.asarray(swar_host_view(arr))
+        got = fused_count_extract_multi(
+            pats, dev, n, tile_elems=tile_elems, interpret=True
+        )
+        assert got is not None
+        for pat, (offs, vals, info) in zip(pats, got):
+            ref_offs, ref_vals = two_phase_candidates(
+                pat, arr[:n], use_pallas=False
+            )
+            assert offs.tolist() == ref_offs.tolist(), pat.keyword
+            assert vals.tolist() == ref_vals.tolist(), pat.keyword
+            assert not info.fallback
+
+    def test_multi_pattern_fused_overflow_fallback(self):
+        """Per-pattern capacity overflow inside the multi batch must fall
+        back to the batched device gather and still return every match."""
+        import jax.numpy as jnp
+        from monkey_moore_tpu.dense import (
+            fused_count_extract_multi,
+            two_phase_candidates,
+        )
+        from monkey_moore_tpu.ops.scan_pallas import LANES, swar_host_view
+
+        tile_elems = 8 * LANES
+        n = 4 * tile_elems
+        arr = np.zeros(n + 2 * tile_elems, dtype=np.uint8)
+        arr[:n] = np.tile(np.array([97, 98], dtype=np.uint8), n // 2)
+        pats = [compile_pattern("abab"), compile_pattern("zyxwv")]
+        got = fused_count_extract_multi(
+            pats, jnp.asarray(swar_host_view(arr)), n,
+            tile_elems=tile_elems, interpret=True, p_cap=16,
+        )
+        assert got is not None
+        offs0, vals0, info0 = got[0]
+        assert info0.fallback
+        ref_offs, ref_vals = two_phase_candidates(
+            pats[0], arr[:n], use_pallas=False
+        )
+        assert offs0.tolist() == ref_offs.tolist()
+        assert vals0.tolist() == ref_vals.tolist()
+        assert got[1][2].hot_tiles == 0
+
     def test_overflow_falls_back_to_batched_gather(self):
         # more hot tiles than k_cap → the batched-gather fallback must
         # still return every match

@@ -109,7 +109,7 @@ def main():
                 )
             dtype = np.uint8 if width == 1 else np.uint16
             arr = np.zeros(
-                (n // tile_elems + 1) * tile_elems, dtype=dtype
+                (-(-n // tile_elems) + 1) * tile_elems, dtype=dtype
             )
             arr[:n] = host_raw[: n * width].view(
                 "<u2" if width == 2 else np.uint8
