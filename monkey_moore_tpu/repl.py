@@ -50,6 +50,9 @@ commands:
   search KW [KW ...]      relative search; several keywords share one dispatch
   value V1 V2 ...         value scan (non-negative decimals)
   export IDX OUT.tbl      export match IDX of the last search as a Thingy table
+  table IDX               load match IDX into the editable table
+  table show | set HEX CH | del HEX | save OUT.tbl [enc]
+                          edit the byte⇔char grid before saving
   set OPT VALUE           width 8|16, endian little|big, semantics
                           greedy|all|reference, wildcard CHAR, seq NAME|CHARS,
                           previews on|off, dedup on|off, offsets hex|dec
@@ -83,6 +86,7 @@ class Repl:
         self.block_size = 524288
         self.chunk_bytes = 64 * 1024 * 1024
         self.last_results: List[SearchResult] = []
+        self.pending_table: Optional[dict] = None  # editable byte⇔char grid
         self._searcher = None  # MultiSearcher, rebuilt when settings change
 
     # ------------------------------------------------------------------
@@ -260,6 +264,89 @@ class Repl:
         )
         save_tbl(args[1], table, encoding)
         self._say(f"table with {len(table)} entries saved to {args[1]}")
+
+    def _cmd_table(self, args) -> None:
+        """Editable table workflow — the headless twin of the reference's
+        table-creator dialog, where the byte⇔char grid built from a match
+        can be edited before saving (``table_creator.cpp:87-195``)."""
+        if not args:
+            self._say("usage: table IDX | show | set HEX CHAR | del HEX | "
+                      "save OUT.tbl [encoding]")
+            return
+        sub = args[0].lower()
+        if sub == "show":
+            self._table_show()
+        elif sub == "set":
+            if len(args) < 3 or len(args[2]) != 1:
+                self._say("usage: table set HEX CHAR (one character)")
+                return
+            if self._require_table():
+                key = self._table_key(args[1])
+                if key is not None:
+                    self.pending_table[key] = args[2]
+                    self.pending_table = dict(
+                        sorted(self.pending_table.items())
+                    )
+                    self._table_show()
+        elif sub == "del":
+            if len(args) < 2:
+                self._say("usage: table del HEX")
+                return
+            if self._require_table():
+                key = self._table_key(args[1])
+                if key is None:
+                    return
+                if self.pending_table.pop(key, None) is None:
+                    self._say(f"no entry {key}")
+                else:
+                    self._table_show()
+        elif sub == "save":
+            if len(args) < 2:
+                self._say("usage: table save OUT.tbl [encoding]")
+                return
+            if self._require_table():
+                encoding = args[2] if len(args) > 2 else "utf-8"
+                save_tbl(args[1], self.pending_table, encoding)
+                self._say(
+                    f"table with {len(self.pending_table)} entries saved "
+                    f"to {args[1]}"
+                )
+        else:
+            idx = int(args[0])
+            if not (0 <= idx < len(self.last_results)):
+                hi = len(self.last_results) - 1
+                self._say(f"error: match index out of range (0..{hi})")
+                return
+            self.pending_table = build_table_data(
+                self.last_results[idx].values_map, self.width, self.endian
+            )
+            self._table_show()
+
+    def _table_key(self, hex_text: str) -> Optional[str]:
+        """Canonical zero-padded uppercase hex key, or None (+message)."""
+        try:
+            value = int(hex_text, 16)
+        except ValueError:
+            self._say(f"error: invalid hex value {hex_text!r}")
+            return None
+        digits = self.width * 2
+        if value >= 1 << (8 * self.width):
+            self._say(f"error: {hex_text} exceeds the element width")
+            return None
+        return f"{value:0{digits}X}"
+
+    def _require_table(self) -> bool:
+        if self.pending_table is None:
+            self._say("no table loaded (use: table IDX)")
+            return False
+        return True
+
+    def _table_show(self) -> None:
+        if not self._require_table():
+            return
+        pairs = [f"{k}={v}" for k, v in self.pending_table.items()]
+        for i in range(0, len(pairs), 8):
+            self._say("  ".join(pairs[i : i + 8]))
 
     def _cmd_set(self, args) -> None:
         if len(args) < 2:
