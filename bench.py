@@ -110,8 +110,13 @@ def main():
         # eager flat->2D reshape would materialize a second corpus-sized
         # buffer).  Chunked threefry with buffer donation keeps peak HBM at
         # corpus + one 256 MiB chunk.
+        from monkey_moore_tpu.ops.scan_pallas import alloc_fine_tiles
+
         lanes32 = LANES // 4
-        rows_total = (n + tile_elems) // 4 // lanes32
+        # counted tiles rounded so the kernel's dispatch grouping engages
+        # (+1 halo tile); indivisible tile counts silently cost ~5x
+        tiles = alloc_fine_tiles(n, tile_elems) + 1
+        rows_total = tiles * tile_elems // 4 // lanes32
         fill_rows = (64 * 1024 * 1024) // lanes32  # 256 MiB per fill
 
         @functools.partial(

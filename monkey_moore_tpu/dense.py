@@ -423,7 +423,7 @@ def fused_count_extract_multi(
     from .ops.scan_pallas import (
         LANES,
         _swar_multi_gather_call,
-        pallas_gather_available,
+        pallas_gather_mode,
     )
 
     if not fused_multi_eligible(pats, tile_elems, interpret):
@@ -506,7 +506,7 @@ def fused_count_extract_multi(
                 for c, pp in zip(p.chk_shift_cur, p.chk_shift_prev)
             )
         )
-    gather_kernel = interpret or pallas_gather_available()
+    gather_kernel = "dma" if interpret else (pallas_gather_mode() or False)
     counts_dev, combos_dev = _swar_multi_gather_call(
         data2d, expected, active,
         jnp.asarray(valid), vtvr, tuple(exp_exacts), tuple(recoveries),

@@ -45,14 +45,37 @@ def _widen_dtype(dtype) -> jnp.dtype:
     return jnp.int16 if np.dtype(dtype) == np.uint8 else jnp.int32
 
 
+def pattern_operand_cache(pat) -> dict:
+    """Per-pattern memo for small DEVICE operand arrays (check tables,
+    splatted expected words, valid-limit encodings).
+
+    On the development relay every host→device transfer is a round trip
+    costing ~10-30 ms of latency; rebuilding these KB-sized arrays per
+    step made the fused scan pay several uploads per dispatch.  Searches
+    reuse one CompiledPattern across chunks/steps, so the device copies
+    are built once and live on the pattern object.
+    """
+    cache = getattr(pat, "_device_operands", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(pat, "_device_operands", cache)
+    return cache
+
+
 def pattern_device_args(pat: CompiledPattern) -> Tuple[jnp.ndarray, ...]:
     """Device-array form of the dense check tables + recovery shifts.
 
     Returned as plain arrays (not static) so that jit caches key only on
     :meth:`CompiledPattern.kernel_key` — searching a different same-length
-    keyword reuses the compiled executable.
+    keyword reuses the compiled executable.  Memoized per pattern
+    (:func:`pattern_operand_cache`) so repeat steps reuse the device
+    copies instead of re-uploading.
     """
     from .recover import recovery_shifts
+
+    cache = pattern_operand_cache(pat)
+    if "args" in cache:
+        return cache["args"]
 
     if pat.signed_compare:
         expected = jnp.asarray(pat.chk_expected, dtype=_widen_dtype(pat.dtype))
@@ -63,12 +86,13 @@ def pattern_device_args(pat: CompiledPattern) -> Tuple[jnp.ndarray, ...]:
     # traced shape is mode-independent.
     s0 = shifts[0]
     s1 = shifts[1] if len(shifts) > 1 else shifts[0]
-    return (
+    cache["args"] = (
         jnp.asarray(pat.chk_shift_cur, dtype=jnp.int32),
         jnp.asarray(pat.chk_shift_prev, dtype=jnp.int32),
         expected,
         jnp.asarray([s0, s1], dtype=jnp.int32),
     )
+    return cache["args"]
 
 
 def match_bitmap(
@@ -133,9 +157,11 @@ def compact_matches(
     so callers can detect capacity overflow and retry.
     """
     count = jnp.sum(bitmap, dtype=jnp.int32)
-    offsets = jnp.nonzero(
-        bitmap, size=capacity, fill_value=-1
-    )[0].astype(jnp.int32)
+    idx = nonzero_capped(bitmap, capacity)
+    # preserve the documented fill = -1 (nonzero_capped pads with
+    # unspecified duplicate indices)
+    pos = jnp.arange(capacity, dtype=jnp.int32)
+    offsets = jnp.where(pos < count, idx, -1)
     return count, offsets
 
 
@@ -277,6 +303,45 @@ def _count_body(
     return jnp.sum(ok.astype(jnp.int32).reshape(-1, tile_elems), axis=1)
 
 
+def nonzero_capped(flat: jnp.ndarray, cap: int, blk: int = 128) -> jnp.ndarray:
+    """First ``cap`` indices where ``flat != 0`` (ascending, 0-filled) —
+    ``jnp.nonzero(size=cap)`` semantics at a fraction of its cost.
+
+    XLA lowers full-array ``nonzero`` to a cumsum + scatter over EVERY
+    element (~11 ms/MiB measured on v5e over the relay, docs/PERF.md); over
+    the fused step's ``k_cap × tile_elems`` phase-2 bitmap that dominated
+    the whole dispatch (~300 ms at k_cap=1024 — the round-2 "wildcard
+    8-bit collapse").  Two-level compaction instead: one block-any reduce
+    pass, ``nonzero`` over the N/blk block flags, gather the ≤cap hot
+    blocks, ``nonzero`` over the (cap, blk) sub-array — total nonzero
+    input is ``N/blk + cap*blk`` elements instead of N.
+
+    Contract matches the capped-buffer design everywhere in this module:
+    the first ``count_nonzero(flat)`` entries are exact (ascending) as
+    long as that count is ≤ cap; entries past it are unspecified
+    (duplicates of early blocks, not necessarily 0), and callers detect
+    overflow via the separately-computed true count.
+    """
+    n = flat.shape[0]
+    if n <= cap * blk:  # small inputs: plain nonzero is already cheap
+        return jnp.nonzero(flat, size=cap, fill_value=0)[0].astype(jnp.int32)
+    pad = (-n) % blk
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((pad,), dtype=flat.dtype)]
+        )
+    g = flat.reshape(-1, blk)
+    coarse = jnp.any(g != 0, axis=1)
+    bidx = jnp.nonzero(coarse, size=cap, fill_value=0)[0].astype(jnp.int32)
+    sub = g[bidx] != 0  # (cap, blk); fill rows may duplicate block 0
+    sidx = jnp.nonzero(
+        sub.reshape(-1), size=cap, fill_value=0
+    )[0].astype(jnp.int32)
+    return bidx[sidx // jnp.int32(blk)] * jnp.int32(blk) + sidx % jnp.int32(
+        blk
+    )
+
+
 def exact_phase2(
     slots: jnp.ndarray,
     hot: jnp.ndarray,
@@ -336,7 +401,7 @@ def exact_phase2(
     bitmap = ok & (pos_idx <= valid_slot[:, None] - length)
     flat = bitmap.reshape(-1)
     n_cand = jnp.sum(flat, dtype=jnp.int32)
-    idx = jnp.nonzero(flat, size=p_cap, fill_value=0)[0].astype(jnp.int32)
+    idx = nonzero_capped(flat, p_cap)
     slot = idx // jnp.int32(positions)
     rel = idx % jnp.int32(positions)
     lim = jnp.maximum(valid_slot[slot] - 1, 0)
@@ -379,7 +444,7 @@ def fused_body_xla(
     counts = _count_body(
         data, valid_count, expected_ty, pairs, length, tile_elems
     )
-    hot = jnp.nonzero(counts, size=k_cap, fill_value=0)[0].astype(jnp.int32)
+    hot = nonzero_capped(counts, k_cap)
     nhot = jnp.sum((counts > 0).astype(jnp.int32))
     # gather whole tiles (2 per slot: tile + halo) with vmapped dynamic
     # slices: O(k_cap) temporary memory.  (A reshape(-1, tile_elems) + take

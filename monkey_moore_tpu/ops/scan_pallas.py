@@ -167,27 +167,131 @@ def _run_probe_gather() -> None:
     jax.block_until_ready(out)
 
 
-def pallas_gather_available() -> bool:
-    """True when the dynamic (scalar-prefetch) hot-tile gather kernel
-    compiles on this toolchain (probed once; ``MMTPU_PALLAS_GATHER=0``
-    forces the XLA row-gather fallback)."""
-    if "gather" in _PALLAS_PROBE:
-        return _PALLAS_PROBE["gather"]
+def _run_probe_gather_dma() -> None:
+    """Compile-probe the manual-DMA hot-tile gather (tiny shapes)."""
+    out = _gather_tiles_dma_call(
+        jnp.zeros((24, 128), dtype=jnp.int32),
+        jnp.zeros(2, dtype=jnp.int32),
+        k_cap=2,
+        rows_per_tile=8,
+        interpret=False,
+    )
+    jax.block_until_ready(out)
+
+
+def pallas_gather_mode() -> str | None:
+    """Which hot-tile gather lowers on this toolchain (probed once).
+
+    ``"dma"`` — the manual-DMA kernel (:func:`_gather_tiles_dma_call`): one
+    contiguous tile+halo HBM→HBM copy per slot with a rolling window of
+    outstanding DMAs, so a large ``k_cap`` costs overlapped bandwidth, not
+    serialized per-block latency.  ``"block"`` — the scalar-prefetch
+    BlockSpec kernel (:func:`_gather_tiles_call`): 2 pipelined (rows, lanes)
+    blocks per slot.  ``None`` — XLA row-index take.  Override with
+    ``MMTPU_PALLAS_GATHER=dma|block|0``.
+    """
+    if "gather_mode" in _PALLAS_PROBE:
+        return _PALLAS_PROBE["gather_mode"]
     import os
 
-    forced = os.environ.get("MMTPU_PALLAS_GATHER", "").strip()
+    forced = os.environ.get("MMTPU_PALLAS_GATHER", "").strip().lower()
     if forced == "0":
-        _PALLAS_PROBE["gather"] = False
-        return False
-    ok = False
+        _PALLAS_PROBE["gather_mode"] = None
+        return None
+    mode = None
     if jax.default_backend() in ("tpu", "axon"):
-        try:
-            _run_probe_gather()
-            ok = True
-        except Exception:
-            ok = False
-    _PALLAS_PROBE["gather"] = ok
-    return ok
+        candidates = (
+            [forced] if forced in ("dma", "block") else ["dma", "block"]
+        )
+        for candidate in candidates:
+            try:
+                if candidate == "dma":
+                    _run_probe_gather_dma()
+                else:
+                    _run_probe_gather()
+                mode = candidate
+                break
+            except Exception:
+                continue
+    _PALLAS_PROBE["gather_mode"] = mode
+    return mode
+
+
+def pallas_gather_available() -> bool:
+    """True when some Pallas hot-tile gather lowers on this toolchain
+    (probed once; ``MMTPU_PALLAS_GATHER=0`` forces the XLA row-gather
+    fallback)."""
+    return pallas_gather_mode() is not None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_cap", "rows_per_tile", "interpret")
+)
+def _gather_tiles_dma_call(
+    data2d: jnp.ndarray,
+    hot: jnp.ndarray,
+    *,
+    k_cap: int,
+    rows_per_tile: int,
+    interpret: bool,
+):
+    """Manual-DMA hot-tile gather: ONE contiguous (tile + successor-halo)
+    HBM→HBM copy per slot, with a rolling window of ``W`` outstanding DMAs.
+
+    The BlockSpec formulation (:func:`_gather_tiles_call`) moves the same
+    bytes as 2 pipelined small blocks per slot, which is per-block
+    *latency*-bound at fine tile sizes — a 512-slot gather of 8 KiB tiles
+    issues 1024 serialized ~8 KiB copies.  Here slot ``i`` is a single
+    ``2 * rows_per_tile``-row copy (tile ``hot[i]`` plus its halo tile,
+    contiguous rows) and up to ``W`` copies are in flight, so a large
+    ``k_cap`` costs overlapped HBM bandwidth rather than serialized
+    round trips.  Same output contract as :func:`_gather_tiles_call`:
+    ``(k_cap * 2 * rows_per_tile, lanes)``, slot i at rows
+    ``[i * 2 * rows_per_tile, (i + 1) * 2 * rows_per_tile)``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, lanes = data2d.shape
+    span = 2 * rows_per_tile
+    W = min(8, k_cap)  # outstanding copies
+
+    def kernel(ids_ref, in_ref, out_ref, sems):
+        def dma(slot):
+            r0 = ids_ref[slot] * rows_per_tile
+            return pltpu.make_async_copy(
+                in_ref.at[pl.ds(r0, span)],
+                out_ref.at[pl.ds(slot * span, span)],
+                sems.at[slot % W],
+            )
+
+        for j in range(W):
+            dma(j).start()
+
+        def body(j, carry):
+            dma(j).wait()
+
+            @pl.when(j + W < k_cap)
+            def _():
+                dma(j + W).start()
+
+            return carry
+
+        jax.lax.fori_loop(0, k_cap, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((W,))],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k_cap * span, lanes), data2d.dtype),
+        interpret=interpret,
+    )(hot, data2d)
 
 
 @functools.partial(
@@ -511,6 +615,84 @@ def _tile_counts_swar_call(
 
         ext_shift = make_shift(ext, ext_down)
 
+        def write_cnt(cnt):
+            """Assemble per-word i32 match counts into the output block."""
+            if fine_per_block == 1:
+                out_ref[:] = jnp.broadcast_to(jnp.sum(cnt), (8, 128))
+                return
+            # Per-fine-tile sub-counts assembled into the (8, 128) output
+            # block (row-major slot f = fine tile f of this block): the
+            # dispatch block stays large for kernel rate while hot-tile
+            # extraction stays fine-grained — same output traffic either
+            # way.  Assembly via iota/select keeps every op a plain 2-D
+            # i32 vector op (Mosaic restricts small reshapes).
+            rows_per_fine = tile_rows // fine_per_block
+            rr = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            slot = rr * 128 + cc
+            out = jnp.zeros((8, 128), jnp.int32)
+            for f in range(fine_per_block):
+                s = jnp.sum(
+                    cnt[f * rows_per_fine : (f + 1) * rows_per_fine]
+                )
+                out = out + jnp.where(slot == f, s, 0)
+            out_ref[:] = out
+
+        # validity masking runs ONLY in the tile holding the last valid
+        # window start (valid split into tile index vt + remainder vr on
+        # host — int32-safe past 2^31 elements); earlier tiles count
+        # unmasked, later tiles are all-invalid and write 0
+        vt, vr = valid_ref[0], valid_ref[1]
+        run = wordcmp_run(pairs, k_per_word)
+        if run is not None:
+            # Word-compare formulation (see :func:`wordcmp_run`): the C
+            # checks are a consecutive distance-1 run, so for word parity
+            # k the whole condition is ONE 32-bit equality of the
+            # (m+k)-element-shifted diff view against the packed expected
+            # word — no xor/or accumulator, no zero-detect, no popcount.
+            m, C = run
+            D = swar_sub(ext_shift(1), ext)
+            if any(m + k for k in range(k_per_word)):
+                D_shift = make_shift(
+                    D, jnp.concatenate([D[1:], D[-1:]], axis=0)
+                )
+            P = expected_ref[0]  # packed on host (swar_dispatch_args)
+            bools = []
+            for k in range(k_per_word):
+                s = m + k
+                v = D if s == 0 else D_shift(s)
+                if C == k_per_word:
+                    b = v == P
+                else:
+                    # short runs compare only the C covered elements
+                    mask = (1 << (ebits * C)) - 1
+                    b = ((v ^ P) & _i32c(mask)) == 0
+                bools.append(b[:tile_rows])
+
+            def counts_words(keeps=None):
+                cnt = None
+                for k, b in enumerate(bools):
+                    bk = b if keeps is None else b & keeps[k]
+                    ck = jnp.where(bk, 1, 0)
+                    cnt = ck if cnt is None else cnt + ck
+                return cnt
+
+            write_cnt(counts_words())
+
+            @pl.when(i == vt)
+            def _boundary_wc():
+                r_ = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
+                c_ = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+                pos0 = (r_ * lanes32 + c_) * k_per_word
+                keeps = [pos0 + k <= vr for k in range(k_per_word)]
+                write_cnt(counts_words(keeps))
+
+            @pl.when(i > vt)
+            def _past_wc():
+                out_ref[:] = jnp.zeros((8, 128), jnp.int32)
+
+            return
+
         acc = None
         for d, checks in groups.items():
             # diff array for this bridge distance over the extended block:
@@ -541,35 +723,12 @@ def _tile_counts_swar_call(
             ones = jax.lax.shift_right_logical(
                 zz, jnp.int32(ebits - 1)
             ) & hONES
-            cnt = jax.lax.shift_right_logical(
-                ones * hONES, jnp.int32(32 - ebits)
-            )
-            if fine_per_block == 1:
-                out_ref[:] = jnp.broadcast_to(jnp.sum(cnt), (8, 128))
-                return
-            # Per-fine-tile sub-counts assembled into the (8, 128) output
-            # block (row-major slot f = fine tile f of this block): the
-            # dispatch block stays large for kernel rate while hot-tile
-            # extraction stays fine-grained — same output traffic either
-            # way.  Assembly via iota/select keeps every op a plain 2-D
-            # i32 vector op (Mosaic restricts small reshapes).
-            rows_per_fine = tile_rows // fine_per_block
-            rr = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-            cc = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-            slot = rr * 128 + cc
-            out = jnp.zeros((8, 128), jnp.int32)
-            for f in range(fine_per_block):
-                s = jnp.sum(
-                    cnt[f * rows_per_fine : (f + 1) * rows_per_fine]
+            write_cnt(
+                jax.lax.shift_right_logical(
+                    ones * hONES, jnp.int32(32 - ebits)
                 )
-                out = out + jnp.where(slot == f, s, 0)
-            out_ref[:] = out
+            )
 
-        # validity masking runs ONLY in the tile holding the last valid
-        # window start (valid split into tile index vt + remainder vr on
-        # host — int32-safe past 2^31 elements); earlier tiles count
-        # unmasked, later tiles are all-invalid and write 0
-        vt, vr = valid_ref[0], valid_ref[1]
         popcount_write(z)
 
         @pl.when(i == vt)
@@ -819,6 +978,64 @@ def _tile_counts_swar_multi_call(
     )
 
 
+def dispatch_group_cap(tile_rows: int, width: int) -> int:
+    """Largest ``fine_per_block`` the grouped dispatch can use for this
+    fine-tile height: power-of-two block growth capped by 1024 fine tiles
+    and the 2 MiB dispatch-block VMEM budget (see swar_dispatch_args)."""
+    max_block_rows = (2 * 1024 * 1024) // (LANES * width)
+    cap = 1
+    while cap * 2 <= 1024 and tile_rows * cap * 2 <= max_block_rows:
+        cap *= 2
+    return cap
+
+
+def alloc_fine_tiles(n_elems: int, tile_elems: int, width: int = 1) -> int:
+    """Fine-tile count an ALLOCATION should provide for ``n_elems``
+    elements: ceil(n/tile_elems) counted tiles rounded up to the dispatch
+    group (so ``swar_dispatch_args``'s power-of-two block grouping always
+    engages — an indivisible tile count silently degrades to one fine tile
+    per grid step, ~5x slower at 8-row tiles), NOT including the +1
+    halo/padding tile callers must add.  Extra rounded-up tiles scan
+    allocated zeros and are masked by the valid limit."""
+    t = -(-n_elems // tile_elems)
+    group = dispatch_group_cap(tile_elems // LANES, width)
+    return -(-t // group) * group
+
+
+def wordcmp_run(pairs, k_per_word: int):
+    """Word-compare kernel eligibility: ``(m, C)`` when the selected checks
+    form ONE consecutive distance-1 run (``ps = m, m+1, ..., m+C-1``) with
+    ``C <=`` elements-per-word, else ``None``.
+
+    Eligible check sets pack into whole i32 words of the shared diff array
+    ``D[e] = data[e+1] - data[e]``: window start ``e`` matches iff bytes
+    ``D[e+m .. e+m+C-1]`` equal the expected diffs — for the word parity
+    ``k = e mod k_per_word`` that is ONE native 32-bit equality of the
+    ``m+k``-element-shifted view of D against the packed expected word.
+    This replaces the per-check xor/or accumulation AND the SWAR
+    zero-element-detect + popcount tail of the v2 kernel with one compare
+    per parity (``MMTPU_WORDCMP=0`` forces v2 for A/B measurement).
+
+    Plain keywords, value scans and custom-sequence searches all compile to
+    dense adjacent checks (the reference's simple mode,
+    ``src/core/monkey_moore.cpp:106-142``), so this is the production path
+    for non-wildcard searches; wildcard bridge tables (``:222-231``) have
+    distance > 1 checks and stay on v2.
+    """
+    import os
+
+    if os.environ.get("MMTPU_WORDCMP", "").strip() == "0":
+        return None
+    if not pairs or len(pairs) > k_per_word:
+        return None
+    if any(c != p + 1 for c, p in pairs):
+        return None
+    ps = [p for _, p in pairs]
+    if any(b != a + 1 for a, b in zip(ps, ps[1:])):
+        return None
+    return ps[0], len(ps)
+
+
 def swar_dispatch_args(
     pat: CompiledPattern,
     num_fine_tiles: int,
@@ -840,7 +1057,12 @@ def swar_dispatch_args(
     fitting the 16 MiB scoped-VMEM budget with the kernel's shifted/diff
     intermediates.
     """
-    from .scan_jnp import prefilter_checks
+    from .scan_jnp import pattern_operand_cache, prefilter_checks
+
+    cache = pattern_operand_cache(pat)
+    memo_key = ("dispatch", num_fine_tiles, valid_count, tile_rows)
+    if memo_key in cache:
+        return cache[memo_key]
 
     width = np.dtype(pat.dtype).itemsize
     block_rows, fine_per_block = tile_rows, 1
@@ -855,6 +1077,15 @@ def swar_dispatch_args(
     ):
         fine_per_block *= 2
         block_rows *= 2
+    want_group = dispatch_group_cap(tile_rows, width)
+    if fine_per_block < want_group and num_fine_tiles > 4 * want_group:
+        from ..utils.logging import log
+
+        log(
+            f"dispatch grouping degraded: {num_fine_tiles} fine tiles not "
+            f"divisible by {want_group} (got {fine_per_block}); pad "
+            f"allocations with scan_pallas.alloc_fine_tiles for full rate"
+        )
     block_elems = block_rows * LANES
     lim = valid_count - pat.length
     # int32-overflow-safe valid-limit encoding: the index of the BLOCK
@@ -863,12 +1094,26 @@ def swar_dispatch_args(
         [lim // block_elems, lim % block_elems], dtype=jnp.int32
     )
     pairs, exp_sel = prefilter_checks(pat)
-    # expected values pre-splatted across the i32 word on host, so the
-    # kernel's per-check compare is a single scalar-broadcast xor
-    ones_pat = 0x01010101 if width == 1 else 0x00010001
-    exp_ty = exp_sel.astype(np.uint64)
-    splat = (exp_ty * ones_pat) & 0xFFFFFFFF
-    expected_splat = jnp.asarray(splat.astype(np.uint32).view(np.int32))
+    ebits = 8 * width
+    if wordcmp_run(pairs, 4 // width) is not None:
+        # word-compare path: ONE packed expected word (diff bytes at their
+        # in-word positions, little-endian) — the kernel compares whole i32
+        # words of the shared diff array against it
+        word = 0
+        for j, e in enumerate(exp_sel.astype(np.uint64)):
+            word |= (int(e) & ((1 << ebits) - 1)) << (ebits * j)
+        expected_splat = jnp.asarray(
+            np.asarray([word], dtype=np.uint64)
+            .astype(np.uint32)
+            .view(np.int32)
+        )
+    else:
+        # expected values pre-splatted across the i32 word on host, so the
+        # kernel's per-check compare is a single scalar-broadcast xor
+        ones_pat = 0x01010101 if width == 1 else 0x00010001
+        exp_ty = exp_sel.astype(np.uint64)
+        splat = (exp_ty * ones_pat) & 0xFFFFFFFF
+        expected_splat = jnp.asarray(splat.astype(np.uint32).view(np.int32))
     static = dict(
         pairs=pairs,
         length=pat.length,
@@ -876,7 +1121,8 @@ def swar_dispatch_args(
         width=width,
         fine_per_block=fine_per_block,
     )
-    return expected_splat, valid, static
+    cache[memo_key] = (expected_splat, valid, static)
+    return cache[memo_key]
 
 
 def _hot_slots_and_combo(
@@ -897,25 +1143,34 @@ def _hot_slots_and_combo(
     ~25-45 MB/s — fetching hot-tile rows (or the full counts array) costs
     more than the scan itself; candidates + recovery values are O(matches).
 
-    The gather itself is **layout-preserving and O(k_cap) memory**: either
-    the scalar-prefetch Pallas DMA kernel (:func:`_gather_tiles_call`,
-    ``gather_kernel=True``) or an XLA row-index take.  (An earlier
-    ``reshape(-1, tile_w)`` formulation retiled the whole corpus —
-    (rows, lanes) → (rows/8, 8*lanes) changes the TPU tiled layout — and
-    XLA reserved a corpus-sized temp: compile-time HBM OOM at 8 GiB.)
+    The gather itself is **layout-preserving and O(k_cap) memory**:
+    ``gather_kernel`` selects the manual-DMA kernel
+    (:func:`_gather_tiles_dma_call`, ``"dma"`` — one overlapped tile+halo
+    copy per slot, the production mode), the scalar-prefetch BlockSpec
+    kernel (:func:`_gather_tiles_call`, ``"block"``/True), or an XLA
+    row-index take (falsy).  (An earlier ``reshape(-1, tile_w)``
+    formulation retiled the whole corpus — (rows, lanes) →
+    (rows/8, 8*lanes) changes the TPU tiled layout — and XLA reserved a
+    corpus-sized temp: compile-time HBM OOM at 8 GiB.)
     Row-index arithmetic keeps indices within int32 even for
     >2^31-element corpora (an 8 GiB u8 corpus has 2^33 elements but 2^23
     rows).  ``total`` is an int32 stats field (may wrap past 2^31
     prefilter hits; extraction never uses it).
     """
-    from .scan_jnp import exact_phase2
+    from .scan_jnp import exact_phase2, nonzero_capped
 
     vtvr, expected_exact, recovery, pairs_exact = exact_args
-    hot = jnp.nonzero(counts, size=k_cap, fill_value=0)[0].astype(jnp.int32)
+    hot = nonzero_capped(counts, k_cap)
     nhot = jnp.sum((counts > 0).astype(jnp.int32))
     lanes = data2d.shape[1]
     tile_w = rows_per_tile * lanes
-    if gather_kernel:
+    if gather_kernel == "dma":
+        raw = _gather_tiles_dma_call(
+            data2d, hot, k_cap=k_cap, rows_per_tile=rows_per_tile,
+            interpret=interpret,
+        )
+        fetched = raw.reshape(k_cap, 2, tile_w)
+    elif gather_kernel:
         # 2 DMA blocks per slot (tile + halo tile), addresses from the
         # scalar-prefetched hot ids
         raw = _gather_tiles_call(
@@ -1090,7 +1345,11 @@ def tile_counts_gather_pallas(
 
     Same tiling/halo contract as :func:`tile_counts_pallas`.
     """
-    from .scan_jnp import pattern_device_args, prefilter_checks
+    from .scan_jnp import (
+        pattern_device_args,
+        pattern_operand_cache,
+        prefilter_checks,
+    )
 
     rows, lanes = data2d.shape
     num_tiles = rows // tile_rows - 1
@@ -1099,10 +1358,14 @@ def tile_counts_gather_pallas(
     L = pat.length
     tile_elems = tile_rows * LANES
     span_elems = tile_elems + L - 1
-    vtvr = jnp.asarray(
-        [valid_count // tile_elems, valid_count % tile_elems],
-        dtype=jnp.int32,
-    )
+    cache = pattern_operand_cache(pat)
+    vt_key = ("vtvr", valid_count, tile_elems)
+    if vt_key not in cache:
+        cache[vt_key] = jnp.asarray(
+            [valid_count // tile_elems, valid_count % tile_elems],
+            dtype=jnp.int32,
+        )
+    vtvr = cache[vt_key]
     _, _, exp_exact, recovery = pattern_device_args(pat)
     exact = dict(
         span_elems=span_elems,
@@ -1119,9 +1382,9 @@ def tile_counts_gather_pallas(
         mode = (pallas_compute_mode() or "native") if not interpret else "native"
     if packed:
         mode = "swar"
-    # dynamic hot-tile gather: scalar-prefetch DMA kernel when it
-    # legalizes (always in interpret mode), XLA row take otherwise
-    gather_kernel = interpret or pallas_gather_available()
+    # dynamic hot-tile gather: manual-DMA kernel when it legalizes
+    # ("dma" always works in interpret mode), XLA row take otherwise
+    gather_kernel = "dma" if interpret else (pallas_gather_mode() or False)
     if mode == "swar":
         expected_splat, valid, static = swar_dispatch_args(
             pat, num_tiles, valid_count, tile_rows
@@ -1144,11 +1407,16 @@ def tile_counts_gather_pallas(
             **static,
         )
     pairs, exp_sel = prefilter_checks(pat)
-    expected = jnp.asarray(exp_sel.astype(np.int32))
-    lim = valid_count - L
-    valid = jnp.asarray(
-        [lim // tile_elems, lim % tile_elems], dtype=jnp.int32
-    )
+    nat_key = ("native", valid_count, tile_elems)
+    if nat_key not in cache:
+        lim = valid_count - L
+        cache[nat_key] = (
+            jnp.asarray(exp_sel.astype(np.int32)),
+            jnp.asarray(
+                [lim // tile_elems, lim % tile_elems], dtype=jnp.int32
+            ),
+        )
+    expected, valid = cache[nat_key]
     return _native_counts_gather_call(
         data2d,
         expected,
@@ -1200,8 +1468,6 @@ def tile_counts_pallas(
         last_valid = valid_count - pat.length  # inclusive
         counts = np.clip(last_valid + 1 - starts, 0, tile_elems)
         return jnp.asarray(counts.astype(np.int32))
-    expected = jnp.asarray(exp_sel.astype(np.int32))
-    lim = valid_count - pat.length
     if mode is None:
         mode = (pallas_compute_mode() or "native") if not interpret else "native"
     if packed:
@@ -1223,9 +1489,19 @@ def tile_counts_pallas(
             **static,
         )
     else:
-        valid = jnp.asarray(
-            [lim // tile_elems, lim % tile_elems], dtype=jnp.int32
-        )
+        from .scan_jnp import pattern_operand_cache
+
+        cache = pattern_operand_cache(pat)
+        cnt_key = ("counts", valid_count, tile_elems)
+        if cnt_key not in cache:
+            lim = valid_count - pat.length
+            cache[cnt_key] = (
+                jnp.asarray(exp_sel.astype(np.int32)),
+                jnp.asarray(
+                    [lim // tile_elems, lim % tile_elems], dtype=jnp.int32
+                ),
+            )
+        expected, valid = cache[cnt_key]
         counts = _tile_counts_call(
             data2d,
             expected,

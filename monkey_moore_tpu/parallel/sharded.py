@@ -233,15 +233,18 @@ def _sharded_fused_fn(
     from ..ops.scan_pallas import (
         _hot_slots_and_combo,
         _tile_counts_swar_call,
-        pallas_gather_available,
+        pallas_gather_mode,
     )
 
     n_dev = mesh.shape[DATA_AXIS]
     perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
     span_elems = tile_elems + length - 1
-    gather_kernel = interpret or (
-        mode != "xla" and pallas_gather_available()
-    )
+    if interpret:
+        gather_kernel = "dma"
+    elif mode != "xla":
+        gather_kernel = pallas_gather_mode() or False
+    else:
+        gather_kernel = False
 
     if mode == "xla":
 

@@ -707,3 +707,172 @@ class TestPallasKernelInterpret:
             pat, jnp.asarray(arr), n, interpret=True, tile_elems=TILE_ELEMS
         )
         assert counts.tolist() == [1, 1, 0]
+
+
+class TestNonzeroCapped:
+    """Two-level capped compaction must reproduce jnp.nonzero's first
+    count_nonzero entries exactly (ascending) whenever that count fits the
+    cap — including hot block 0 (whose duplicated fill rows must not
+    corrupt the leading entries)."""
+
+    @pytest.mark.parametrize(
+        "positions",
+        [
+            [],
+            [0],  # block 0 hot + sparse
+            [0, 1, 2, 127, 128, 129],  # block boundary straddle
+            [5000],
+            [0, 5000, 19999],
+            list(range(0, 2000, 7)),  # many blocks
+            list(range(300, 428)),  # one dense block run
+        ],
+    )
+    @pytest.mark.parametrize("cap", [4, 64, 512])
+    def test_matches_nonzero(self, positions, cap):
+        import jax.numpy as jnp
+        from monkey_moore_tpu.ops.scan_jnp import nonzero_capped
+
+        n = 20000  # > cap * blk for cap=4 and 64 (two-level); 512 = plain
+        flat = np.zeros(n, dtype=bool)
+        flat[positions] = True
+        got = np.asarray(nonzero_capped(jnp.asarray(flat), cap))
+        k = min(len(positions), cap)
+        assert got[:k].tolist() == positions[:k]
+
+    def test_int_input(self, rng):
+        import jax.numpy as jnp
+        from monkey_moore_tpu.ops.scan_jnp import nonzero_capped
+
+        counts = np.zeros(3000, dtype=np.int32)
+        hot = np.sort(rng.choice(3000, size=37, replace=False))
+        counts[hot] = rng.integers(1, 100, size=37)
+        got = np.asarray(nonzero_capped(jnp.asarray(counts), 64, blk=16))
+        assert got[:37].tolist() == hot.tolist()
+
+    def test_ragged_length_padding(self):
+        import jax.numpy as jnp
+        from monkey_moore_tpu.ops.scan_jnp import nonzero_capped
+
+        flat = np.zeros(1000, dtype=bool)  # not a multiple of blk
+        flat[[3, 998, 999]] = True
+        got = np.asarray(nonzero_capped(jnp.asarray(flat), 8, blk=16))
+        assert got[:3].tolist() == [3, 998, 999]
+
+
+class TestGatherKernels:
+    """The manual-DMA hot-tile gather must be byte-identical to the
+    BlockSpec gather and the plain row take, for any hot-id pattern
+    (duplicates included — idle slots repeat a tile)."""
+
+    @pytest.mark.parametrize("k_cap", [1, 2, 8])
+    def test_dma_matches_block_and_take(self, k_cap, rng):
+        import jax.numpy as jnp
+        from monkey_moore_tpu.ops.scan_pallas import (
+            _gather_tiles_call,
+            _gather_tiles_dma_call,
+        )
+
+        rows_per_tile = 8
+        data = jnp.asarray(
+            rng.integers(-(2**31), 2**31, (80, 128)).astype(np.int32)
+        )
+        hot = jnp.asarray(
+            rng.integers(0, 80 // rows_per_tile - 1, k_cap).astype(np.int32)
+        )
+        dma = np.asarray(
+            _gather_tiles_dma_call(
+                data, hot, k_cap=k_cap, rows_per_tile=rows_per_tile,
+                interpret=True,
+            )
+        )
+        blk = np.asarray(
+            _gather_tiles_call(
+                data, hot, k_cap=k_cap, rows_per_tile=rows_per_tile,
+                interpret=True,
+            )
+        )
+        ridx = np.asarray(hot)[:, None] * rows_per_tile + np.arange(
+            2 * rows_per_tile
+        )
+        take = np.asarray(data)[ridx].reshape(-1, 128)
+        assert (dma == blk).all()
+        assert (dma == take).all()
+
+
+class TestWordCompareKernel:
+    """The SWAR kernel's word-compare formulation (``wordcmp_run``): for
+    consecutive distance-1 check runs the whole condition is one 32-bit
+    equality per word parity.  Counts must be identical to the v2
+    xor/or/popcount formulation and the XLA prefilter."""
+
+    def test_eligibility(self):
+        from monkey_moore_tpu.ops.scan_jnp import prefilter_checks
+        from monkey_moore_tpu.ops.scan_pallas import wordcmp_run
+
+        def run_of(kw, wc=0, dtype=np.uint8):
+            pat = compile_pattern(kw, wc, dtype=dtype)
+            pairs, _ = prefilter_checks(pat)
+            return wordcmp_run(pairs, 4 // np.dtype(dtype).itemsize)
+
+        assert run_of("abcde") == (0, 4)  # dense from 0, full word
+        assert run_of("abcd") == (0, 3)  # short run, masked compare
+        assert run_of("abcdefghijkl") == (0, 4)  # capped selection
+        # zero-diff first check deprioritized -> run starts at m=1
+        assert run_of("aabcde") == (1, 4)
+        assert run_of("abcde", dtype=np.uint16) == (0, 2)
+        # wildcard bridges have distance-2 checks -> v2
+        assert run_of("ab*de", "*") is None
+        # MMTPU_WORDCMP=0 forces v2
+        import os
+
+        os.environ["MMTPU_WORDCMP"] = "0"
+        try:
+            assert run_of("abcde") is None
+        finally:
+            del os.environ["MMTPU_WORDCMP"]
+
+    @pytest.mark.parametrize("width", [1, 2])
+    @pytest.mark.parametrize(
+        "kw", ["abcde", "abcd", "aabcde", "abcdefghijkl"]
+    )
+    def test_counts_match_v2_and_brute_force(self, kw, width, rng):
+        import jax.numpy as jnp
+        from monkey_moore_tpu.ops.scan_pallas import (
+            LANES,
+            tile_counts_pallas,
+            wordcmp_run,
+        )
+        from monkey_moore_tpu.ops.scan_jnp import prefilter_checks
+
+        dtype = np.uint8 if width == 1 else np.uint16
+        mod = 1 << (8 * width)
+        pat = compile_pattern(kw, dtype=dtype)
+        pairs, _ = prefilter_checks(pat)
+        assert wordcmp_run(pairs, 4 // width) is not None
+        tile_rows = 8
+        tile_elems = tile_rows * LANES
+        n = 3 * tile_elems - 57  # ragged valid limit in the last tile
+        arr = np.zeros(4 * tile_elems, dtype=dtype)
+        arr[:n] = rng.integers(0, mod, n).astype(dtype)
+        kv = np.array(pat.keyword, dtype=np.int64)
+        L = pat.length
+        # plants: interior, tile straddle, word-misaligned parities, EOF
+        for i, pos in enumerate([5, 33, 34, 35, tile_elems - 2, n - L]):
+            arr[pos : pos + L] = ((kv + 7 * i) % mod).astype(dtype)
+        data2d = jnp.asarray(arr).reshape(-1, LANES)
+        got = tile_counts_pallas(
+            pat, data2d, n, tile_rows=tile_rows, interpret=True, mode="swar"
+        )
+        import os
+
+        os.environ["MMTPU_WORDCMP"] = "0"
+        try:
+            want = tile_counts_pallas(
+                pat, data2d, n, tile_rows=tile_rows, interpret=True,
+                mode="swar",
+            )
+        finally:
+            del os.environ["MMTPU_WORDCMP"]
+        assert got.tolist() == want.tolist()
+        # and the per-corpus total matches the brute-force prefilter
+        assert int(np.sum(got)) == len(brute_force_prefilter(pat, arr[:n]))

@@ -99,8 +99,13 @@ def main():
         """Build the suite's corpus, return best-of-iters step seconds."""
         nonlocal host_raw
         if wants_packed(pat, tile_elems):
+            from monkey_moore_tpu.ops.scan_pallas import alloc_fine_tiles
+
             lanes32 = LANES * width // 4
-            pad_rows = tile_elems // LANES
+            # rounded tile count so dispatch grouping engages, +1 halo tile
+            tiles = alloc_fine_tiles(n, tile_elems, width) + 1
+            total_rows = tiles * tile_elems // LANES
+            pad_rows = total_rows - size_bytes // 4 // lanes32
             dev = device_corpus(jax, jnp, size_bytes, lanes32, pad_rows)
         else:
             if host_raw is None or len(host_raw) < size_bytes:

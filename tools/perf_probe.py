@@ -20,6 +20,9 @@ Stages (``--stage``, comma-separated; default ``floor,roofline,kernel``):
   fused     the production fused step (ONE dispatch + ONE D2H transaction,
             dense.fused_count_extract) at 8 KiB gather tiles, vs the
             counts-only and two-dispatch compositions on the same corpus
+  ab        same-session A/B sweeps: word-compare vs v2 counts kernel
+            (MMTPU_WORDCMP), and gather modes (dma/block/XLA take) under
+            the fused 8-bit wildcard step (the high-hot-tile regime)
 
 Examples (the measurements in docs/PERF.md):
 
@@ -67,7 +70,7 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument(
         "--stage", default="floor,roofline,kernel",
-        help="comma list: floor,roofline,kernel,variants,e2e,fused,all",
+        help="comma list: floor,roofline,kernel,variants,e2e,fused,ab,all",
     )
     ap.add_argument(
         "--tile-rows", default="256,1024,2048",
@@ -76,7 +79,9 @@ def main():
     args = ap.parse_args()
     stages = set(args.stage.split(","))
     if "all" in stages:
-        stages = {"floor", "roofline", "kernel", "variants", "e2e", "fused"}
+        stages = {
+            "floor", "roofline", "kernel", "variants", "e2e", "fused", "ab",
+        }
     timeit = make_timeit(args.iters)
 
     import jax
@@ -116,7 +121,11 @@ def main():
     # eager flat->2D reshape of a device array would materialize a second
     # corpus-sized buffer (OOM at 8 GiB on a 16 GiB chip).  Chunked threefry
     # fill with buffer donation keeps peak HBM at corpus + one 256 MiB chunk.
+    # halo for the largest coarse block, then rounded so 8-row fine tiles
+    # stay divisible by the 256-tile dispatch group (rows ≡ 8 mod 2048):
+    # an indivisible fine-tile count silently degrades grouping ~5x
     rows_total = words // lanes32 + pad_rows
+    rows_total += (8 - rows_total) % 2048
     chunk_rows = (64 * 1024 * 1024) // lanes32  # 256 MiB per fill
 
     @functools.partial(jax.jit, donate_argnums=0, static_argnames=("m",))
@@ -250,6 +259,73 @@ def main():
                 f"fused_step_{kw.replace('*', 'W')}", timeit(fstep), n,
                 hot=info.hot_tiles,
             )
+
+    if "ab" in stages:
+        # In-process A/B of the kernel formulations and gather modes (the
+        # relay drifts 10-20% between sessions — only same-session
+        # comparisons are meaningful, docs/PERF.md).
+        import os
+
+        from monkey_moore_tpu.dense import fused_count_extract
+        from monkey_moore_tpu.ops import scan_pallas as sp
+
+        # (a) word-compare vs v2 xor/or/popcount counts kernel
+        for label, env in (("wordcmp", None), ("v2", "0")):
+            if env is None:
+                os.environ.pop("MMTPU_WORDCMP", None)
+            else:
+                os.environ["MMTPU_WORDCMP"] = env
+
+            def kstep():
+                return np.asarray(
+                    tile_counts_pallas(pat, data2d, n, tile_rows=2048)
+                )
+
+            emit(f"ab_kernel_{label}_8bit", timeit(kstep), n)
+            p16 = compile_pattern("abcde", dtype=np.uint16)
+
+            def kstep16():
+                return np.asarray(
+                    tile_counts_pallas(p16, data2d, n // 2, tile_rows=2048)
+                )
+
+            emit(f"ab_kernel_{label}_16bit", timeit(kstep16), n)
+        os.environ.pop("MMTPU_WORDCMP", None)
+
+        # (b) gather modes under the fused wildcard step (high hot-tile
+        # count: the 8-bit wildcard regime that collapsed in round 2)
+        pw = compile_pattern("ab*de", "*")
+        detected = sp.pallas_gather_mode()
+        emit_modes = ["dma", "block", None]
+        for gm in emit_modes:
+            if gm is not None and detected is None:
+                continue
+            sp._PALLAS_PROBE["gather_mode"] = gm
+
+            def gstep():
+                _, _, info = fused_count_extract(
+                    pw, data2d, n, tile_elems=8 * LANES
+                )
+                return info
+
+            try:
+                info = gstep()
+                emit(
+                    f"ab_gather_{gm or 'take'}_fused_wildcard",
+                    timeit(gstep), n, hot=info.hot_tiles,
+                    fallback=info.fallback,
+                )
+            except Exception as e:
+                print(
+                    json.dumps(
+                        {
+                            "probe": f"ab_gather_{gm or 'take'}",
+                            "error": str(e)[:200],
+                        }
+                    ),
+                    flush=True,
+                )
+        sp._PALLAS_PROBE["gather_mode"] = detected
 
 
 if __name__ == "__main__":
