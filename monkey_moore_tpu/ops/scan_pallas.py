@@ -1059,12 +1059,18 @@ def swar_dispatch_args(
     """
     from .scan_jnp import pattern_operand_cache, prefilter_checks
 
+    width = np.dtype(pat.dtype).itemsize
+    pairs, exp_sel = prefilter_checks(pat)
+    wc_run = wordcmp_run(pairs, 4 // width)
     cache = pattern_operand_cache(pat)
-    memo_key = ("dispatch", num_fine_tiles, valid_count, tile_rows)
+    # the formulation (word-compare vs splat) is part of the key so the
+    # MMTPU_WORDCMP A/B switch invalidates memoized operands
+    memo_key = (
+        "dispatch", num_fine_tiles, valid_count, tile_rows, wc_run is None
+    )
     if memo_key in cache:
         return cache[memo_key]
 
-    width = np.dtype(pat.dtype).itemsize
     block_rows, fine_per_block = tile_rows, 1
     # cap the dispatch block at 2 MiB of VMEM (one row = LANES*width bytes:
     # 1 KiB u8 / 2 KiB u16) — larger blocks push the kernel's ~6 shifted /
@@ -1093,9 +1099,8 @@ def swar_dispatch_args(
     valid = jnp.asarray(
         [lim // block_elems, lim % block_elems], dtype=jnp.int32
     )
-    pairs, exp_sel = prefilter_checks(pat)
     ebits = 8 * width
-    if wordcmp_run(pairs, 4 // width) is not None:
+    if wc_run is not None:
         # word-compare path: ONE packed expected word (diff bytes at their
         # in-word positions, little-endian) — the kernel compares whole i32
         # words of the shared diff array against it

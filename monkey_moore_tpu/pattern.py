@@ -156,6 +156,47 @@ def compile_pattern(
     reference_values: Optional[Sequence[int]] = None,
     dtype=np.uint8,
 ) -> CompiledPattern:
+    """Memoizing front of :func:`_compile_pattern`: repeat searches of the
+    same keyword (the interactive workflow) get the SAME CompiledPattern
+    object back, so its per-pattern device-operand cache
+    (``scan_jnp.pattern_operand_cache``) persists across engine runs and a
+    repeat search re-uploads nothing.  Tables are treated as immutable by
+    every consumer."""
+    try:
+        memo_key = (
+            keyword if isinstance(keyword, (str, type(None)))
+            else tuple(int(c) for c in keyword),
+            wildcard,
+            char_seq if isinstance(char_seq, (str, type(None)))
+            else tuple(int(c) for c in char_seq),
+            None if reference_values is None
+            else tuple(int(v) for v in reference_values),
+            np.dtype(dtype).str,
+        )
+    except (TypeError, ValueError):
+        return _compile_pattern(
+            keyword, wildcard, char_seq, reference_values, dtype
+        )
+    hit = _PATTERN_MEMO.get(memo_key)
+    if hit is None:
+        if len(_PATTERN_MEMO) >= 256:
+            _PATTERN_MEMO.clear()
+        hit = _PATTERN_MEMO[memo_key] = _compile_pattern(
+            keyword, wildcard, char_seq, reference_values, dtype
+        )
+    return hit
+
+
+_PATTERN_MEMO: Dict[tuple, CompiledPattern] = {}
+
+
+def _compile_pattern(
+    keyword: Union[str, Sequence[int], None] = None,
+    wildcard: Union[str, int] = 0,
+    char_seq: Union[str, Sequence[int], None] = (),
+    reference_values: Optional[Sequence[int]] = None,
+    dtype=np.uint8,
+) -> CompiledPattern:
     """Compile a keyword (or value-scan sequence) into search tables.
 
     Mirrors the two ``MonkeyMoore<Ty>`` constructors
