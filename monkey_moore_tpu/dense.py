@@ -50,7 +50,7 @@ Result = Tuple[int, Dict[int, int]]
 
 from .ops.scan_pallas import DEFAULT_TILE_ROWS, LANES
 
-TILE_ELEMS = DEFAULT_TILE_ROWS * LANES  # 65536 elements per counted tile
+TILE_ELEMS = DEFAULT_TILE_ROWS * LANES  # 262144 elements per counted tile
 
 
 def _use_pallas_backend(use_pallas: bool, interpret: bool, tile_elems: int) -> bool:

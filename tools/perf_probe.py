@@ -20,6 +20,9 @@ Stages (``--stage``, comma-separated; default ``floor,roofline,kernel``):
   fused     the production fused step (ONE dispatch + ONE D2H transaction,
             dense.fused_count_extract) at 8 KiB gather tiles, vs the
             counts-only and two-dispatch compositions on the same corpus
+  sol       speed-of-light ratio: production counts kernel vs a pure
+            load+sum kernel with identical block geometry (robust to the
+            relay's 2x between-session drift)
   ab        same-session A/B sweeps: word-compare vs v2 counts kernel
             (MMTPU_WORDCMP), and gather modes (dma/block/XLA take) under
             the fused 8-bit wildcard step (the high-hot-tile regime)
@@ -70,7 +73,7 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument(
         "--stage", default="floor,roofline,kernel",
-        help="comma list: floor,roofline,kernel,variants,e2e,fused,ab,all",
+        help="comma list: floor,roofline,kernel,variants,e2e,fused,sol,ab,all",
     )
     ap.add_argument(
         "--tile-rows", default="256,1024,2048",
@@ -80,7 +83,8 @@ def main():
     stages = set(args.stage.split(","))
     if "all" in stages:
         stages = {
-            "floor", "roofline", "kernel", "variants", "e2e", "fused", "ab",
+            "floor", "roofline", "kernel", "variants", "e2e", "fused",
+            "sol", "ab",
         }
     timeit = make_timeit(args.iters)
 
@@ -259,6 +263,57 @@ def main():
                 f"fused_step_{kw.replace('*', 'W')}", timeit(fstep), n,
                 hot=info.hot_tiles,
             )
+
+    if "sol" in stages:
+        # Speed-of-light A/B: a pure load+sum Pallas kernel with EXACTLY
+        # the production block geometry, vs the production counts kernel,
+        # same session.  The relay's absolute rates drift 2x between
+        # sessions (floor 24-55 ms observed), so the roofline claim is the
+        # RATIO: kernel_time / pure_load_time -> how close the scan runs
+        # to its own memory pipeline's speed of light.
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        TR = 2048
+        NT = (data2d.shape[0] - pad_rows) // TR
+
+        def load_kernel(tile_ref, out_ref):
+            out_ref[:] = jnp.broadcast_to(jnp.sum(tile_ref[:]), (8, 128))
+
+        @jax.jit
+        def load_call(x):
+            raw = pl.pallas_call(
+                load_kernel,
+                grid=(NT,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (TR, lanes32), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                ],
+                out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((NT * 8, 128), jnp.int32),
+            )(x)
+            return jnp.sum(raw[::8, 0])
+
+        t_load = timeit(lambda: int(load_call(data2d)))
+        emit("sol_pure_load_sum", t_load, n)
+        t_kernel = timeit(
+            lambda: np.asarray(tile_counts_pallas(pat, data2d, n,
+                                                  tile_rows=TR))
+        )
+        emit("sol_counts_kernel", t_kernel, n)
+        print(
+            json.dumps(
+                {
+                    "probe": "sol_ratio",
+                    "kernel_over_pure_load": t_kernel / t_load,
+                    "note": "1.0 = scan at its memory pipeline's "
+                            "speed of light",
+                }
+            ),
+            flush=True,
+        )
 
     if "ab" in stages:
         # In-process A/B of the kernel formulations and gather modes (the
