@@ -59,6 +59,7 @@ commands:
   show                    current settings
   seq list | seq show N   named character sequences
   stats                   per-stage timings of the last search
+  about                   version / backend / device information
   help                    this text
   quit / exit             leave\
 """
@@ -408,6 +409,29 @@ class Repl:
             self._say(store.get(args[1]))
         else:
             self._say("usage: seq list | seq show NAME")
+
+    def _cmd_about(self, args) -> None:
+        """Version/backend info — the headless twin of the reference's
+        about dialog (``src/gui/dialogs/about.cpp``)."""
+        from . import __version__
+
+        self._say(
+            f"monkey-moore TPU {__version__} — TPU-native relative search"
+        )
+        self._say(
+            "capabilities: 8/16-bit, wildcards, mixed case, value scan, "
+            "custom sequences, .tbl export"
+        )
+        try:
+            import jax
+
+            dev = jax.devices()[0]
+            self._say(
+                f"backend: {jax.default_backend()}  device: "
+                f"{dev.device_kind} x{jax.device_count()}"
+            )
+        except Exception as e:  # no usable backend — still print version
+            self._say(f"backend: unavailable ({e})")
 
     def _cmd_stats(self, args) -> None:
         from .corpus import _cache as corpus_cache

@@ -709,6 +709,43 @@ class TestPallasKernelInterpret:
         assert counts.tolist() == [1, 1, 0]
 
 
+class TestAllocFineTiles:
+    """Allocation sizes from alloc_fine_tiles must always let the grouped
+    dispatch engage at full width (indivisible tile counts silently cost
+    ~5x — the round-3 probe regression)."""
+
+    @pytest.mark.parametrize("width", [1, 2])
+    @pytest.mark.parametrize("tile_rows", [8, 64, 256])
+    @pytest.mark.parametrize(
+        "n", [8192, 100000, 2**21 - 137, 2**21, 2**27 + 1]
+    )
+    def test_group_engages(self, n, tile_rows, width):
+        from monkey_moore_tpu.ops.scan_pallas import (
+            LANES,
+            alloc_fine_tiles,
+            dispatch_group_cap,
+        )
+
+        tile_elems = tile_rows * LANES
+        tiles = alloc_fine_tiles(n, tile_elems, width)
+        group = dispatch_group_cap(tile_rows, width)
+        assert tiles % group == 0
+        assert tiles * tile_elems >= n  # covers the corpus
+        assert (tiles - group) * tile_elems < n  # minimal rounding
+        # the auto-grouping loop reaches exactly `group` for this count
+        fpb = 1
+        max_block_rows = (2 * 1024 * 1024) // (LANES * width)
+        block_rows = tile_rows
+        while (
+            fpb * 2 <= 1024
+            and block_rows * 2 <= max_block_rows
+            and tiles % (fpb * 2) == 0
+        ):
+            fpb *= 2
+            block_rows *= 2
+        assert fpb == group
+
+
 class TestNonzeroCapped:
     """Two-level capped compaction must reproduce jnp.nonzero's first
     count_nonzero entries exactly (ascending) whenever that count fits the
