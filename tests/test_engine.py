@@ -381,6 +381,46 @@ class TestShortHaloQuirk:
         assert [r.offset for r in results] == [15]
 
 
+class TestDenseMatchFallback:
+    """Engine-level coverage of the fused step's capacity-overflow path: a
+    byte ramp matches ``abcde`` at EVERY window (all diffs are 1), blowing
+    past ``p_cap`` so every chunk takes the counts-fetch + batched-gather
+    fallback — results must still be exact and the degradation must be
+    surfaced in ``SearchStats.fused_fallbacks``."""
+
+    @pytest.mark.parametrize(
+        "semantics", [MatchSemantics.ALL, MatchSemantics.GREEDY]
+    )
+    def test_ramp_overflow_exact_and_counted(self, tmp_path, semantics):
+        n = 8192
+        data = (np.arange(n) & 0xFF).astype(np.uint8)
+        path = write_file(tmp_path, data)
+        cfg = SearchConfig(
+            file_path=path,
+            keyword="abcde",
+            device_chunk_bytes=4096,
+            semantics=semantics,
+        )
+        engine = SearchEngine(cfg)
+        results = engine.run()
+        offsets = [r.offset for r in results]
+        # windows crossing the 255->0 ramp wrap fail the EXACT signed
+        # compare (diff -255, not +1) — they are precisely the mod-256
+        # prefilter false positives phase 2 must reject
+        exact = [p for p in range(n - 4) if p % 256 <= 251]
+        if semantics is MatchSemantics.ALL:
+            assert offsets == exact
+        else:
+            # greedy advance = L-1 = 4 over the exact candidate list
+            assert offsets == [p for p in exact if p % 4 == 0]
+        stats = engine.last_stats
+        assert stats.fused_fallbacks >= 1
+        assert "DEGRADED" in stats.summary()
+        # recovered map decodes 'a' to the window's base data value
+        for r in results[:3]:
+            assert r.values_map[ord("a")] == (r.offset & 0xFF)
+
+
 class TestBlockMath:
     def test_compute_search_blocks_parity(self):
         # overlap = (len-1)*s; starts advance by base; clipped at EOF
