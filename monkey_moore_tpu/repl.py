@@ -87,6 +87,7 @@ class Repl:
         self.block_size = 524288
         self.chunk_bytes = 64 * 1024 * 1024
         self.last_results: List[SearchResult] = []
+        self.last_stats = None  # SearchStats of the last single search
         self.pending_table: Optional[dict] = None  # editable byte⇔char grid
         self._searcher = None  # MultiSearcher, rebuilt when settings change
 
@@ -202,6 +203,7 @@ class Repl:
             groups = self._multi_searcher().search(
                 specs, generate_previews=self.previews
             )
+            self.last_stats = None  # multi path has no per-stage stats
         elapsed = time.time() - t0
         flat: List[SearchResult] = []
         for kw, results in zip(args, groups):
@@ -232,6 +234,7 @@ class Repl:
         if search.outcome is SearchEvent.FAILED:
             self._say(f"error: {search.error}")
             return None
+        self.last_stats = getattr(search.engine, "last_stats", None)
         return search.results
 
     def _cmd_value(self, args) -> None:
@@ -246,6 +249,7 @@ class Repl:
         t0 = time.time()
         engine = SearchEngine(self._config(values=values))
         results = engine.run(generate_previews=self.previews)
+        self.last_stats = engine.last_stats
         self._print_results(results)
         self.last_results = results
         self._say(f"elapsed: {time.time() - t0:.2f}s")
@@ -441,6 +445,14 @@ class Repl:
             self._say(f"resident corpus: {corpus.n_bytes} bytes in HBM")
         else:
             self._say("no resident corpus yet (first search uploads)")
+        if self.last_stats is None:
+            self._say("no per-stage stats (run a single-keyword search)")
+            return
+        self._say(self.last_stats.summary())
+        for stage, secs in sorted(
+            self.last_stats.stage_seconds.items(), key=lambda kv: -kv[1]
+        ):
+            self._say(f"  {stage:<16} {secs * 1e3:9.2f} ms")
 
     # ------------------------------------------------------------------
     def _print_results(self, results: List[SearchResult]) -> None:
