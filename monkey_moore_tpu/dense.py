@@ -492,17 +492,10 @@ def fused_count_extract_multi(
         )
         active = jnp.asarray(act_mat.astype(np.int32))  # -1 live, 0 pad
 
-        # shared dispatch-block geometry (same auto-sizing as
-        # swar_dispatch_args) + per-pattern boundary encodings
-        block_rows, fpb = rows_per_tile, 1
-        max_block_rows = (2 * 1024 * 1024) // (LANES * width)
-        while (
-            fpb * 2 <= 1024
-            and block_rows * 2 <= max_block_rows
-            and num_tiles % (fpb * 2) == 0
-        ):
-            fpb *= 2
-            block_rows *= 2
+        # shared dispatch-block geometry + per-pattern boundary encodings
+        from .ops.scan_pallas import dispatch_grouping
+
+        block_rows, fpb = dispatch_grouping(num_tiles, rows_per_tile, width)
         block_elems = block_rows * LANES
         valid = jnp.asarray(np.stack(
             [

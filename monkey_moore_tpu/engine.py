@@ -402,15 +402,12 @@ class SearchEngine:
                             use_pallas=cfg.use_pallas,
                         )
                     if over is not None:
-                        t = -(-count_here // tile_elems)
-                        pad_arr = arr
-                        if len(pad_arr) < (t + 1) * tile_elems:
-                            pad_arr = np.pad(
-                                arr, (0, (t + 1) * tile_elems - len(arr))
-                            )
+                        # extract_hot_tiles clamps per-tile slices to the
+                        # buffer end, so the decoded chunk passes through
+                        # unpadded
                         with timer.stage("host_extract"):
                             res_offs, res_vals = extract_hot_tiles(
-                                pat, pad_arr[:count_here], over, tile_elems
+                                pat, arr[:count_here], over, tile_elems
                             )
                     counts = None
                 elif resident is not None:

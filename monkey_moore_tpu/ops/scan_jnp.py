@@ -59,6 +59,11 @@ def pattern_operand_cache(pat) -> dict:
     if cache is None:
         cache = {}
         object.__setattr__(pat, "_device_operands", cache)
+    elif len(cache) > 64:
+        # patterns are memoized process-long (compile_pattern); bound the
+        # per-pattern device-operand entries (keyed by chunk geometry) so
+        # many distinct file/chunk sizes can't pin buffers without limit
+        cache.clear()
     return cache
 
 

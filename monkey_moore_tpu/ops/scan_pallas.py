@@ -488,7 +488,7 @@ def swar_host_view(arr: np.ndarray) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "pairs", "length", "tile_rows", "width", "interpret",
-        "fine_per_block",
+        "fine_per_block", "wc_run",
     ),
 )
 def _tile_counts_swar_call(
@@ -502,6 +502,7 @@ def _tile_counts_swar_call(
     width: int,
     interpret: bool,
     fine_per_block: int = 1,
+    wc_run: Tuple[int, int] | None = None,
 ):
     """SWAR tile-count kernel: elements packed 4-(u8) or 2-(u16) per int32
     lane, every vector op 32-bit (legal on Mosaic toolchains that reject
@@ -643,7 +644,7 @@ def _tile_counts_swar_call(
         # host — int32-safe past 2^31 elements); earlier tiles count
         # unmasked, later tiles are all-invalid and write 0
         vt, vr = valid_ref[0], valid_ref[1]
-        run = wordcmp_run(pairs, k_per_word)
+        run = wc_run  # static: part of the jit cache key (see caller)
         if run is not None:
             # Word-compare formulation (see :func:`wordcmp_run`): the C
             # checks are a consecutive distance-1 run, so for word parity
@@ -989,6 +990,29 @@ def dispatch_group_cap(tile_rows: int, width: int) -> int:
     return cap
 
 
+def dispatch_grouping(
+    num_fine_tiles: int, tile_rows: int, width: int
+) -> Tuple[int, int]:
+    """The power-of-two dispatch-block grouping: ``(block_rows,
+    fine_per_block)`` with ``block_rows = tile_rows * fine_per_block``,
+    grown while the fine-tile count stays divisible, capped at 1024 fine
+    tiles and the 2 MiB VMEM dispatch-block budget.
+
+    THE single source of truth — the kernel's boundary masking derives its
+    vt/vr encoding from ``block_rows`` (``swar_dispatch_args``), so every
+    site that lowers the kernel must use this exact grouping."""
+    block_rows, fine_per_block = tile_rows, 1
+    max_block_rows = (2 * 1024 * 1024) // (LANES * width)
+    while (
+        fine_per_block * 2 <= 1024
+        and block_rows * 2 <= max_block_rows
+        and num_fine_tiles % (fine_per_block * 2) == 0
+    ):
+        fine_per_block *= 2
+        block_rows *= 2
+    return block_rows, fine_per_block
+
+
 def alloc_fine_tiles(n_elems: int, tile_elems: int, width: int = 1) -> int:
     """Fine-tile count an ALLOCATION should provide for ``n_elems``
     elements: ceil(n/tile_elems) counted tiles rounded up to the dispatch
@@ -1071,18 +1095,9 @@ def swar_dispatch_args(
     if memo_key in cache:
         return cache[memo_key]
 
-    block_rows, fine_per_block = tile_rows, 1
-    # cap the dispatch block at 2 MiB of VMEM (one row = LANES*width bytes:
-    # 1 KiB u8 / 2 KiB u16) — larger blocks push the kernel's ~6 shifted /
-    # diff intermediates past the 16 MiB scoped-VMEM budget
-    max_block_rows = (2 * 1024 * 1024) // (LANES * width)
-    while (
-        fine_per_block * 2 <= 1024
-        and block_rows * 2 <= max_block_rows
-        and num_fine_tiles % (fine_per_block * 2) == 0
-    ):
-        fine_per_block *= 2
-        block_rows *= 2
+    block_rows, fine_per_block = dispatch_grouping(
+        num_fine_tiles, tile_rows, width
+    )
     want_group = dispatch_group_cap(tile_rows, width)
     if fine_per_block < want_group and num_fine_tiles > 4 * want_group:
         from ..utils.logging import log
@@ -1125,6 +1140,7 @@ def swar_dispatch_args(
         tile_rows=block_rows,
         width=width,
         fine_per_block=fine_per_block,
+        wc_run=wc_run,
     )
     cache[memo_key] = (expected_splat, valid, static)
     return cache[memo_key]
@@ -1228,19 +1244,19 @@ def _hot_slots_and_combo(
         "pairs", "length", "tile_rows", "width", "interpret",
         "fine_per_block", "k_cap", "rows_per_tile",
         "span_elems", "tile_elems", "signed_compare", "p_cap",
-        "pairs_exact", "gather_kernel",
+        "pairs_exact", "gather_kernel", "wc_run",
     ),
 )
 def _swar_counts_gather_call(
     packed2d, expected, valid, vtvr, expected_exact, recovery, *,
     pairs, length, tile_rows, width, interpret, fine_per_block, k_cap,
     rows_per_tile, span_elems, tile_elems, signed_compare,
-    p_cap, pairs_exact, gather_kernel,
+    p_cap, pairs_exact, gather_kernel, wc_run=None,
 ):
     counts = _tile_counts_swar_call(
         packed2d, expected, valid, pairs=pairs, length=length,
         tile_rows=tile_rows, width=width, interpret=interpret,
-        fine_per_block=fine_per_block,
+        fine_per_block=fine_per_block, wc_run=wc_run,
     )
     combo = _hot_slots_and_combo(
         packed2d, counts,

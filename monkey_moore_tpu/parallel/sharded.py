@@ -205,27 +205,32 @@ def sharded_tile_counts(
 # (``src/core/search_engine.cpp:82-175``).
 
 
-def _fused_mode(use_pallas: bool, interpret: bool, tile_elems: int) -> str:
+def _fused_mode(
+    use_pallas: bool, interpret: bool, tile_elems: int, max_shift: int
+) -> str:
     """Per-device backend for the sharded fused step: ``"swar"`` (the
     production Pallas kernel on its packed layout) or ``"xla"`` (every
     other toolchain — element-dtype Pallas modes take the XLA body under
-    shard_map)."""
+    shard_map).  Same gates as the single-device
+    ``dense._use_pallas_backend``: selected prefilter shifts must stay
+    under one kernel row (``max_shift < LANES``) — beyond it the kernel's
+    one-row-down views read wrong data and would silently undercount."""
     from ..ops.scan_pallas import LANES, pallas_compute_mode
 
-    if tile_elems % (8 * LANES) != 0:
+    if tile_elems % (8 * LANES) != 0 or max_shift >= LANES:
+        return "xla"
+    if not use_pallas:
         return "xla"
     if interpret:
         # interpret-mode SWAR (CPU validation of the TPU path)
         return "swar"
-    if not use_pallas:
-        return "xla"
     return "swar" if pallas_compute_mode() == "swar" else "xla"
 
 
 @functools.lru_cache(maxsize=64)
 def _sharded_fused_fn(
     mesh, *, pairs, length, tile_elems, k_cap, p_cap, signed_compare,
-    pairs_exact, mode, width, interpret, t_loc,
+    pairs_exact, mode, width, interpret, t_loc, wc_run=None,
 ):
     import jax
 
@@ -265,17 +270,13 @@ def _sharded_fused_fn(
         # SWAR Pallas body on the packed word layout (one row = LANES_
         # elements); ``valid2`` carries the kernel's [boundary-block,
         # remainder] encoding per device
+        from ..ops.scan_pallas import dispatch_grouping
+
         rows_per_tile = tile_elems // LANES_
-        # dispatch-block grouping (same auto-sizing as swar_dispatch_args)
-        block_rows, fpb = rows_per_tile, 1
-        max_block_rows = (2 * 1024 * 1024) // (LANES_ * width)
-        while (
-            fpb * 2 <= 1024
-            and block_rows * 2 <= max_block_rows
-            and t_loc % (fpb * 2) == 0
-        ):
-            fpb *= 2
-            block_rows *= 2
+        # the shared grouping — must agree bit-for-bit with
+        # swar_dispatch_args (its block_rows defines the vt/vr boundary
+        # encoding the kernel masks on)
+        block_rows, fpb = dispatch_grouping(t_loc, rows_per_tile, width)
 
         def local_step(d2_local, valid2, vtvr2, expected, exp_exact, rec):
             halo = jax.lax.ppermute(
@@ -285,7 +286,7 @@ def _sharded_fused_fn(
             counts = _tile_counts_swar_call(
                 ext, expected, valid2[0], pairs=pairs, length=length,
                 tile_rows=block_rows, width=width, interpret=interpret,
-                fine_per_block=fpb,
+                fine_per_block=fpb, wc_run=wc_run,
             )
             combo = _hot_slots_and_combo(
                 ext, counts, (vtvr2[0], exp_exact, rec, pairs_exact),
@@ -343,10 +344,10 @@ def sharded_fused_step(
     L = pat.length
     d = mesh.shape[DATA_AXIS]
     width = np.dtype(pat.dtype).itemsize
-    pairs, exp_sel, _ = _prefilter_sel(pat)
+    pairs, exp_sel, max_shift = _prefilter_sel(pat)
     if k_cap is None:
         k_cap = auto_k_cap(pat, valid_count, tile_elems, len(pairs))
-    mode = _fused_mode(use_pallas, interpret, tile_elems)
+    mode = _fused_mode(use_pallas, interpret, tile_elems, max_shift)
     if not pairs:
         mode = "xla"  # all-wildcard: every tile hot; take the simple body
 
@@ -372,6 +373,7 @@ def sharded_fused_step(
         for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
     )
 
+    wc_run = None
     if mode == "xla":
         dev_in = jax.device_put(arr, NamedSharding(mesh, P(DATA_AXIS)))
         valid2 = np.clip(valid_count - bases, 0, e_loc + tile_elems).astype(
@@ -384,6 +386,10 @@ def sharded_fused_step(
         expected_in, _, static = swar_dispatch_args(
             pat, t_loc, valid_count, tile_elems // LANES_
         )
+        # the formulation the expected operand was packed for MUST be the
+        # one the kernel traces (static jit key — an env flip between
+        # calls must retrace, not reuse)
+        wc_run = static["wc_run"]
         block_elems = static["tile_rows"] * LANES_  # elements per block
         lim = valid_count - L
         lim_loc = np.clip(
@@ -399,7 +405,7 @@ def sharded_fused_step(
         mesh, pairs=pairs, length=L, tile_elems=tile_elems, k_cap=k_cap,
         p_cap=p_cap, signed_compare=pat.signed_compare,
         pairs_exact=pairs_exact, mode=mode, width=width,
-        interpret=interpret, t_loc=t_loc,
+        interpret=interpret, t_loc=t_loc, wc_run=wc_run,
     )
     sharding_rows = NamedSharding(mesh, P(DATA_AXIS))
     counts_dev, combos_dev = fn(

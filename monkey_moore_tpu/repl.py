@@ -335,7 +335,7 @@ class Repl:
             self._say(f"error: invalid hex value {hex_text!r}")
             return None
         digits = self.width * 2
-        if value >= 1 << (8 * self.width):
+        if not 0 <= value < 1 << (8 * self.width):
             self._say(f"error: {hex_text} exceeds the element width")
             return None
         return f"{value:0{digits}X}"

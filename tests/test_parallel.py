@@ -195,6 +195,30 @@ class TestShardedFusedStep:
         assert offs[order].tolist() == offs_s.tolist()
         assert vals[order].tolist() == vals_s.tolist()
 
+    def test_long_keyword_shift_over_row_takes_xla(self, devices, rng):
+        """Regression: keywords whose selected prefilter shifts reach past
+        one kernel row (>= LANES) are not SWAR-eligible — the mesh path
+        must fall back to the XLA body instead of silently undercounting
+        (a match planted mid-corpus used to vanish)."""
+        from monkey_moore_tpu.dense import _prefilter_sel
+        from monkey_moore_tpu.ops.scan_pallas import LANES
+        from monkey_moore_tpu.parallel.sharded import sharded_fused_step
+
+        kw = "a" * 1030 + "bcd"
+        pat = compile_pattern(kw)
+        assert _prefilter_sel(pat)[2] >= LANES  # the hazardous shape
+        tile_elems = 8 * 1024
+        mesh = make_mesh(devices, n=4)
+        n = 8 * tile_elems
+        data = rng.integers(0, 256, n).astype(np.uint8)
+        enc = (np.array(pat.keyword, dtype=np.int64) + 7) % 256
+        data[10 : 10 + len(enc)] = enc.astype(np.uint8)
+        offs, _, info, over = sharded_fused_step(
+            pat, data, mesh, n, tile_elems, interpret=True
+        )
+        assert over is None
+        assert 10 in offs.tolist()
+
     def test_wildcard_16bit_xla(self, devices, rng):
         from monkey_moore_tpu.dense import two_phase_candidates
         from monkey_moore_tpu.parallel.sharded import sharded_fused_step

@@ -868,6 +868,42 @@ class TestWordCompareKernel:
         finally:
             del os.environ["MMTPU_WORDCMP"]
 
+    def test_env_flip_retraces_single_check(self, rng):
+        """Regression: a single-check pattern ('ab', C==1) gives BOTH
+        formulations an expected operand of shape (1,), so the jit cache
+        used to serve a stale executable across an MMTPU_WORDCMP flip —
+        undercounting the prefilter.  The formulation is now a static jit
+        key (wc_run), so both orders must count identically."""
+        import os
+
+        import jax.numpy as jnp
+        from monkey_moore_tpu.ops.scan_pallas import (
+            LANES,
+            tile_counts_pallas,
+        )
+
+        pat = compile_pattern("ab")
+        tile_rows = 8
+        n = 2 * tile_rows * LANES - 19
+        arr = np.zeros(3 * tile_rows * LANES, dtype=np.uint8)
+        arr[:n] = rng.integers(0, 256, n).astype(np.uint8)
+        data2d = jnp.asarray(arr).reshape(-1, LANES)
+        want = len(brute_force_prefilter(pat, arr[:n]))
+
+        os.environ["MMTPU_WORDCMP"] = "0"
+        try:
+            v2 = tile_counts_pallas(
+                pat, data2d, n, tile_rows=tile_rows, interpret=True,
+                mode="swar",
+            )
+        finally:
+            del os.environ["MMTPU_WORDCMP"]
+        wc = tile_counts_pallas(
+            pat, data2d, n, tile_rows=tile_rows, interpret=True, mode="swar"
+        )
+        assert int(np.sum(v2)) == want
+        assert int(np.sum(wc)) == want
+
     @pytest.mark.parametrize("width", [1, 2])
     @pytest.mark.parametrize(
         "kw", ["abcde", "abcd", "aabcde", "abcdefghijkl"]
