@@ -141,6 +141,33 @@ class SearchConfig:
     #: 0 disables residency.
     resident_bytes_limit: int = 2 * 1024 * 1024 * 1024
 
+    def clamp_ui_bounds(self) -> "SearchConfig":
+        """Return a copy with the user-facing knobs clamped to the settings
+        dialog's ranges: preview width 20-50, block size ("memory pool")
+        1-64 MB, threads 1-16 (``src/gui/dialogs/settings.cpp:50,64,74``).
+
+        The engine itself accepts any value — parity with the reference
+        library, whose tests drive 8-byte block sizes
+        (``tests/test_search_engine.cpp:62-69``); only settings-dialog-shaped
+        entry points (prefs, UI fields) are bounded.  ``preferred_num_threads
+        == 0`` (auto) is preserved.
+        """
+        clamped = dataclasses.replace(
+            self,
+            preferred_preview_width=min(
+                50, max(20, self.preferred_preview_width)
+            ),
+            preferred_search_block_size=min(
+                64 * 1024 * 1024,
+                max(1 * 1024 * 1024, self.preferred_search_block_size),
+            ),
+        )
+        if self.preferred_num_threads != 0:
+            clamped.preferred_num_threads = min(
+                16, max(1, self.preferred_num_threads)
+            )
+        return clamped
+
     def dtype(self) -> type:
         try:
             return DTYPE_FOR_WIDTH[self.element_width]

@@ -20,6 +20,7 @@ at large chunk sizes.
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, NamedTuple, Tuple
 
 import numpy as np
@@ -170,7 +171,10 @@ _EMPTY = (
 )
 
 #: memo for multi-pattern batch device operands (see fused_count_extract_multi)
+#: — guarded by ``_multi_memo_lock``; buffers pin to the backend active at
+#: first use (single-backend assumption, like scan_jnp.pattern_operand_cache)
 _MULTI_MEMO: dict = {}
+_multi_memo_lock = threading.Lock()
 
 
 def auto_k_cap(
@@ -461,7 +465,8 @@ def fused_count_extract_multi(
     memo_key = (
         tuple(id(p) for p in pats), valid_count, tile_elems, num_tiles,
     )
-    hit = _MULTI_MEMO.get(memo_key)
+    with _multi_memo_lock:
+        hit = _MULTI_MEMO.get(memo_key)
     if hit is not None:
         _, expected, active, valid, vtvr, pair_sets_padded, fpb = hit
         block_rows = rows_per_tile * fpb
@@ -510,12 +515,13 @@ def fused_count_extract_multi(
             [[valid_count // tile_elems, valid_count % tile_elems]] * K,
             dtype=jnp.int32,
         )
-        if len(_MULTI_MEMO) >= 64:
-            _MULTI_MEMO.clear()
-        _MULTI_MEMO[memo_key] = (
-            tuple(pats), expected, active, valid, vtvr,
-            pair_sets_padded, fpb,
-        )
+        with _multi_memo_lock:
+            if len(_MULTI_MEMO) >= 64:
+                _MULTI_MEMO.clear()
+            _MULTI_MEMO[memo_key] = (
+                tuple(pats), expected, active, valid, vtvr,
+                pair_sets_padded, fpb,
+            )
     exp_exacts, recoveries, pairs_exacts = [], [], []
     for p in pats:
         _, _, ee, rec = pattern_device_args(p)

@@ -66,6 +66,43 @@ CATALOGS: Dict[str, Dict[str, str]] = {"pt_br": _PT_BR, "pt": _PT_BR}
 _active: Optional[Dict[str, str]] = None
 _lang = "en"
 
+#: vendored copy of the reference's shipped gettext catalog
+#: (``assets/i18n/source/messages-pt_br.po`` in the reference tree, loaded at
+#: ``src/gui/monkey_app.cpp:26-28``)
+_VENDORED_PO = Path(__file__).parent / "assets" / "i18n" / "messages-pt_br.po"
+
+
+def _install_vendored_catalog() -> None:
+    """Merge the reference's full pt_BR catalog over the built-in subset.
+
+    The reference's msgids embed ``\\n`` line breaks (``constants.hpp:30-46``)
+    while this framework's user-facing strings are single-line, so each
+    vendored entry also registers a whitespace-flattened alias.  The vendored
+    catalog wins on overlap (it is the reference's shipped data); the built-in
+    subset covers strings newer than the catalog (CLI strings, warnings added
+    after 0.5).
+    """
+    if not _VENDORED_PO.exists():
+        return
+    try:
+        vendored = load_po(_VENDORED_PO)
+    except Exception:
+        return
+    merged: Dict[str, str] = dict(_PT_BR)
+    for key, val in vendored.items():
+        merged[key] = val
+        merged.setdefault(" ".join(key.split()), val)
+    # ``constants.hpp:38`` ships a typo ("containg"); validate.py uses the
+    # corrected spelling — alias the translation to both forms.
+    typo = (
+        "You must input a keyword containg ONLY characters found in your "
+        "defined charset."
+    )
+    if typo in merged:
+        merged.setdefault(typo.replace("containg", "containing"), merged[typo])
+    CATALOGS["pt_br"] = merged
+    CATALOGS["pt"] = merged
+
 
 def load_po(path) -> Dict[str, str]:
     """Minimal ``.po`` reader (msgid/msgstr pairs, single- or multi-line)."""
@@ -117,7 +154,8 @@ def _(message: str) -> str:
     return _active.get(message, message)
 
 
-# initialize from environment
+# load the vendored reference catalog, then initialize from environment
+_install_vendored_catalog()
 set_language(
     os.environ.get("MMTPU_LANG")
     or os.environ.get("LC_ALL")

@@ -21,6 +21,7 @@ kernel in ``scan_pallas.py`` computes the same bitmap with explicit tiling.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Tuple
 
 import jax
@@ -45,6 +46,9 @@ def _widen_dtype(dtype) -> jnp.dtype:
     return jnp.int16 if np.dtype(dtype) == np.uint8 else jnp.int32
 
 
+_operand_cache_lock = threading.Lock()
+
+
 def pattern_operand_cache(pat) -> dict:
     """Per-pattern memo for small DEVICE operand arrays (check tables,
     splatted expected words, valid-limit encodings).
@@ -54,16 +58,25 @@ def pattern_operand_cache(pat) -> dict:
     step made the fused scan pay several uploads per dispatch.  Searches
     reuse one CompiledPattern across chunks/steps, so the device copies
     are built once and live on the pattern object.
+
+    Thread-safety: create/size-clear run under a lock so concurrent
+    AsyncSearch/MultiSearcher threads cannot race a clear against an
+    insert (worst case without it was benign recompute, but the lock is
+    cheap).  Single-backend assumption: cached buffers are pinned to the
+    JAX backend active at first use; a process that re-initializes its
+    platform must discard patterns (``compile_pattern`` memo) first.
     """
-    cache = getattr(pat, "_device_operands", None)
-    if cache is None:
-        cache = {}
-        object.__setattr__(pat, "_device_operands", cache)
-    elif len(cache) > 64:
-        # patterns are memoized process-long (compile_pattern); bound the
-        # per-pattern device-operand entries (keyed by chunk geometry) so
-        # many distinct file/chunk sizes can't pin buffers without limit
-        cache.clear()
+    with _operand_cache_lock:
+        cache = getattr(pat, "_device_operands", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(pat, "_device_operands", cache)
+        elif len(cache) > 64:
+            # patterns are memoized process-long (compile_pattern); bound
+            # the per-pattern device-operand entries (keyed by chunk
+            # geometry) so many distinct file/chunk sizes can't pin
+            # buffers without limit
+            cache.clear()
     return cache
 
 

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import threading
 from typing import Dict, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -179,15 +180,23 @@ def compile_pattern(
         )
     hit = _PATTERN_MEMO.get(memo_key)
     if hit is None:
-        if len(_PATTERN_MEMO) >= 256:
-            _PATTERN_MEMO.clear()
-        hit = _PATTERN_MEMO[memo_key] = _compile_pattern(
-            keyword, wildcard, char_seq, reference_values, dtype
-        )
+        # lock the size-clear + insert: concurrent AsyncSearch /
+        # MultiSearcher threads must not clear while another inserts
+        # (compile is re-entrant, so double-compute on a miss is fine)
+        with _memo_lock:
+            if len(_PATTERN_MEMO) >= 256:
+                _PATTERN_MEMO.clear()
+            hit = _PATTERN_MEMO.setdefault(
+                memo_key,
+                _compile_pattern(
+                    keyword, wildcard, char_seq, reference_values, dtype
+                ),
+            )
     return hit
 
 
 _PATTERN_MEMO: Dict[tuple, CompiledPattern] = {}
+_memo_lock = threading.Lock()
 
 
 def _compile_pattern(

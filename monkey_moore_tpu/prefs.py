@@ -15,10 +15,36 @@ import xml.etree.ElementTree as ET
 from pathlib import Path
 from typing import Dict, Union
 
-__all__ = ["PrefsError", "Prefs", "PREFS_VERSION"]
+__all__ = [
+    "PrefsError",
+    "Prefs",
+    "PREFS_VERSION",
+    "SETTINGS_BOUNDS",
+    "clamp_setting",
+]
 
 PREFS_VERSION = "1.1.0"  # MM_VERSION (``constants.hpp:8``)
 _ROOT_TAG = "monkey-moore-config"
+
+#: UI-enforced bounds for the performance/display knobs, mirroring the
+#: settings dialog's spin-control ranges: preview width 20-50 characters,
+#: memory pool 1-64 MB (stored in bytes), search threads 1-16
+#: (``src/gui/dialogs/settings.cpp:50,64,74``).
+SETTINGS_BOUNDS = {
+    "settings/display-preview-width": (20, 50),
+    "settings/perf-memory-pool": (1 * 1024 * 1024, 64 * 1024 * 1024),
+    "settings/perf-search-threads": (1, 16),
+}
+
+
+def clamp_setting(key: str, value: int) -> int:
+    """Clamp *value* into the UI bounds for *key* (identity for unbounded
+    keys) — the behavior of the reference's ``wxSpinCtrl::SetRange``."""
+    bounds = SETTINGS_BOUNDS.get(key)
+    if bounds is None:
+        return value
+    lo, hi = bounds
+    return min(hi, max(lo, value))
 
 
 class PrefsError(Exception):
@@ -63,6 +89,14 @@ class Prefs:
     def set(self, key: str, value) -> None:
         if isinstance(value, bool):
             value = "true" if value else "false"
+        if key in SETTINGS_BOUNDS:
+            # mirror the settings dialog's spin-control clamping
+            # (``settings.cpp:50,64,74``): out-of-range writes snap to the
+            # nearest bound rather than persisting
+            try:
+                value = clamp_setting(key, int(value))
+            except (TypeError, ValueError):
+                pass
         self.values[key] = str(value)
 
     def get_bool(self, key: str, default: bool = False) -> bool:
@@ -72,10 +106,14 @@ class Prefs:
         return v.lower() == "true"
 
     def get_int(self, key: str, default: int = 0) -> int:
+        """Typed accessor; UI-bounded keys (``SETTINGS_BOUNDS``) are clamped
+        on read so a hand-edited XML cannot smuggle an out-of-range knob past
+        the settings dialog's ranges (``settings.cpp:50,64,74``)."""
         try:
-            return int(self.values.get(key, default))
+            value = int(self.values.get(key, default))
         except (TypeError, ValueError):
             return default
+        return clamp_setting(key, value)
 
     # ------------------------------------------------------------------
     def save(self, path: Union[str, Path]) -> None:

@@ -168,6 +168,7 @@ class Repl:
             return
         self.file = path
         self.last_results = []
+        self.pending_table = None  # grid was built from the previous file
         self._invalidate()
         self._say(f"opened {path} ({path.stat().st_size} bytes)")
 
@@ -212,6 +213,7 @@ class Repl:
             self._print_results(results)
             flat.extend(results)
         self.last_results = flat
+        self.pending_table = None  # grid was built from the previous results
         self._say(f"elapsed: {elapsed:.2f}s")
 
     def _search_single(self, spec) -> Optional[List[SearchResult]]:
@@ -252,6 +254,7 @@ class Repl:
         self.last_stats = engine.last_stats
         self._print_results(results)
         self.last_results = results
+        self.pending_table = None  # grid was built from the previous results
         self._say(f"elapsed: {time.time() - t0:.2f}s")
 
     def _cmd_export(self, args) -> None:

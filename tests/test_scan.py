@@ -949,3 +949,65 @@ class TestWordCompareKernel:
         assert got.tolist() == want.tolist()
         # and the per-corpus total matches the brute-force prefilter
         assert int(np.sum(got)) == len(brute_force_prefilter(pat, arr[:n]))
+
+    @pytest.mark.parametrize("width", [1, 2])
+    @pytest.mark.parametrize("n_tiles", [4, 8])
+    def test_grouped_dispatch_boundary_masking(self, width, n_tiles, rng):
+        """Grouped dispatch (fine_per_block > 1) with a ragged valid limit:
+        the per-parity boundary keeps of the word-compare kernel
+        (``_boundary_wc``) must mask exactly at the valid edge inside a
+        multi-fine-tile dispatch block.  4/8 tiles at tile_rows=8 are
+        divisible, so ``dispatch_grouping`` engages (fpb > 1), unlike the
+        3-tile cases above."""
+        import jax.numpy as jnp
+        from monkey_moore_tpu.ops.scan_jnp import prefilter_checks
+        from monkey_moore_tpu.ops.scan_pallas import (
+            LANES,
+            dispatch_grouping,
+            tile_counts_pallas,
+            wordcmp_run,
+        )
+
+        dtype = np.uint8 if width == 1 else np.uint16
+        mod = 1 << (8 * width)
+        pat = compile_pattern("abcde", dtype=dtype)
+        pairs, _ = prefilter_checks(pat)
+        assert wordcmp_run(pairs, 4 // width) is not None
+        tile_rows = 8
+        tile_elems = tile_rows * LANES
+        _, fpb = dispatch_grouping(n_tiles, tile_rows, width)
+        assert fpb > 1  # the grouping under test actually engages
+        # ragged: the valid limit ends mid-word inside the LAST fine tile
+        # of a grouped dispatch block
+        n = n_tiles * tile_elems - 37
+        arr = np.zeros((n_tiles + 1) * tile_elems, dtype=dtype)
+        arr[:n] = rng.integers(0, mod, n).astype(dtype)
+        kv = np.array(pat.keyword, dtype=np.int64)
+        L = pat.length
+        # plants: fine-tile straddles inside the block, block edge, the
+        # exact last valid start, and one PAST the limit (must not count)
+        plant_at = [
+            tile_elems - 2,          # fine-tile straddle within the block
+            2 * tile_elems - 1,      # another straddle, odd parity
+            n - L,                   # last valid start
+        ]
+        for i, pos in enumerate(plant_at):
+            arr[pos : pos + L] = ((kv + 11 * i) % mod).astype(dtype)
+        arr[n - L + 1 : n - L + 1 + L] = kv.astype(dtype)  # crosses limit
+        data2d = jnp.asarray(arr).reshape(-1, LANES)
+        got = tile_counts_pallas(
+            pat, data2d, n, tile_rows=tile_rows, interpret=True, mode="swar"
+        )
+        assert len(got) >= n_tiles
+        assert int(np.sum(got)) == len(brute_force_prefilter(pat, arr[:n]))
+        import os
+
+        os.environ["MMTPU_WORDCMP"] = "0"
+        try:
+            v2 = tile_counts_pallas(
+                pat, data2d, n, tile_rows=tile_rows, interpret=True,
+                mode="swar",
+            )
+        finally:
+            del os.environ["MMTPU_WORDCMP"]
+        assert got.tolist() == v2.tolist()

@@ -166,6 +166,55 @@ class TestPrefs:
         assert q.get_int("settings/display-preview-width") == 33
         assert not q.get_bool("ui-state/endianness-little")
 
+    def test_settings_bounds_on_set(self):
+        """UI-bounded knobs clamp like the settings dialog's spin controls:
+        preview 20-50, pool 1-64 MB, threads 1-16
+        (``src/gui/dialogs/settings.cpp:50,64,74``)."""
+        p = Prefs()
+        p.set("settings/display-preview-width", 5)
+        assert p.get_int("settings/display-preview-width") == 20
+        p.set("settings/display-preview-width", 200)
+        assert p.get_int("settings/display-preview-width") == 50
+        p.set("settings/perf-memory-pool", 1)
+        assert p.get_int("settings/perf-memory-pool") == 1024 * 1024
+        p.set("settings/perf-memory-pool", 1 << 30)
+        assert p.get_int("settings/perf-memory-pool") == 64 * 1024 * 1024
+        p.set("settings/perf-search-threads", 0)
+        assert p.get_int("settings/perf-search-threads") == 1
+        p.set("settings/perf-search-threads", 99)
+        assert p.get_int("settings/perf-search-threads") == 16
+        # unbounded keys pass through untouched
+        p.set("settings/perf-device-chunk", 123)
+        assert p.get_int("settings/perf-device-chunk") == 123
+
+    def test_settings_bounds_on_load(self, tmp_path):
+        """A hand-edited XML cannot smuggle out-of-range knobs past the
+        typed accessors."""
+        p = Prefs()
+        p.values["settings/perf-search-threads"] = "500"
+        p.save(tmp_path / "config.xml")
+        q = Prefs()
+        q.load(tmp_path / "config.xml")
+        assert q.get_int("settings/perf-search-threads") == 16
+
+    def test_config_clamp_ui_bounds(self):
+        from monkey_moore_tpu.config import SearchConfig
+
+        cfg = SearchConfig(
+            keyword="abc",
+            preferred_preview_width=7,
+            preferred_search_block_size=8,
+            preferred_num_threads=64,
+        )
+        c = cfg.clamp_ui_bounds()
+        assert c.preferred_preview_width == 20
+        assert c.preferred_search_block_size == 1024 * 1024
+        assert c.preferred_num_threads == 16
+        # 0 = auto survives; library-level values on the original untouched
+        assert SearchConfig(keyword="abc").clamp_ui_bounds(
+        ).preferred_num_threads == 0
+        assert cfg.preferred_search_block_size == 8
+
     def test_parse_error(self, tmp_path):
         (tmp_path / "bad.xml").write_text("garbage")
         with pytest.raises(PrefsError):
@@ -288,11 +337,36 @@ class TestI18n:
         try:
             assert i18n.current_language().startswith("pt")
             assert i18n._("File not found") == "Arquivo não encontrado"
-            assert "palavra-chave" in i18n._(
+            # the vendored reference catalog's wording wins over the
+            # built-in subset ("A palavra utilizada na busca...")
+            assert "palavra" in i18n._(
                 "You must input a keyword with 3 or more characters."
             )
         finally:
             i18n.set_language("en")
+
+    def test_vendored_reference_catalog(self):
+        """The full shipped pt_BR catalog (vendored from the reference's
+        ``assets/i18n/source/messages-pt_br.po``, loaded at
+        ``monkey_app.cpp:26-28``) is merged in: every ``Warning_`` string
+        translates, and strings only present in the full catalog (not the
+        built-in subset) resolve too."""
+        from monkey_moore_tpu import i18n
+        from monkey_moore_tpu.validate import Warning_
+
+        cat = i18n.CATALOGS["pt_br"]
+        assert len(cat) > 100  # full catalog, not just the built-in subset
+        for w in Warning_:
+            assert w.value in cat, w.name
+            assert cat[w.value] != w.value
+        # GUI-era strings that only the vendored catalog carries
+        assert cat.get("Search") == "Busca"
+        # entries agree with the reference file itself when it is present
+        ref_po = Path("/root/reference/assets/i18n/source/messages-pt_br.po")
+        if ref_po.exists():
+            ref = i18n.load_po(ref_po)
+            for k, v in ref.items():
+                assert cat.get(k) == v
 
     def test_po_reader(self, tmp_path):
         from monkey_moore_tpu.i18n import load_po
@@ -319,7 +393,7 @@ class TestI18n:
             cwd=str(Path(__file__).resolve().parent.parent), timeout=120,
         )
         assert out.returncode == 2
-        assert "palavra-chave" in out.stderr
+        assert "palavra" in out.stderr
 
 
 class TestCliMultiSearch:
