@@ -140,6 +140,17 @@ class SearchConfig:
     #: (interactive ROM exploration: upload once, search many keywords).
     #: 0 disables residency.
     resident_bytes_limit: int = 2 * 1024 * 1024 * 1024
+    #: Files at or below this size bypass the device entirely: the host
+    #: dense scanner (``native/mm_walker.cpp:mm_dense_scan_*``, ~memory
+    #: bandwidth) beats paying the dispatch round trip.  The reference's
+    #: whole benchmark range (128 KiB-16 MiB,
+    #: ``benchmarks/bench_search.cpp:70``) sits under the default.
+    #: 0 disables the host route (every search uses the device path).
+    host_latency_threshold_bytes: int = 64 * 1024 * 1024
+    #: In-flight fused device steps: the engine dispatches chunk k+1 before
+    #: fetching chunk k's result buffer, hiding up to ``depth-1`` dispatch
+    #: round trips per step on latency-dominated links.  1 = synchronous.
+    pipeline_depth: int = 2
 
     def clamp_ui_bounds(self) -> "SearchConfig":
         """Return a copy with the user-facing knobs clamped to the settings

@@ -218,11 +218,21 @@ class SearchEngine:
             0, dtype=np.uint8
         )
 
+        use_host = (
+            cfg.semantics is not MatchSemantics.REFERENCE
+            and gather is None
+            and cfg.devices is None
+            and 0 < file_size <= cfg.host_latency_threshold_bytes
+        )
         with device_trace():
             if cfg.semantics is MatchSemantics.REFERENCE:
                 raw = self._scan_reference(
                     pat, data, file_size, blocks, progress, aborted, timer,
                     own_bytes=own_bytes, gather=gather,
+                )
+            elif use_host:
+                raw = self._scan_host(
+                    pat, data, file_size, blocks, progress, aborted, timer
                 )
             else:
                 raw = self._scan_dense(
@@ -503,6 +513,83 @@ class SearchEngine:
                 gather, candidate_info, s, base, timer
             )
 
+        return finalize_candidates(
+            pat, cfg.semantics, s, base, file_size, per_group, candidate_info
+        )
+
+    # ------------------------------------------------------------------
+    def _scan_host(self, pat, data, file_size, blocks, progress, aborted,
+                   timer):
+        """Small-input latency path: dense scan on the HOST, no device.
+
+        The reference's whole benchmark range is 128 KiB-16 MiB
+        (``benchmarks/bench_search.cpp:70``) with a 512 KiB default block
+        (``search_engine.hpp:36``); at those sizes a device dispatch's
+        fixed cost exceeds the entire scan, so searches at or below
+        ``host_latency_threshold_bytes`` run the C dense scanner
+        (``native/mm_walker.cpp:mm_dense_scan_*``, ~host memory bandwidth)
+        over each alignment grid and feed the identical per-(block,
+        alignment) finalize as the device path.  Slice structure mirrors
+        ``_scan_dense``'s chunk loop so progress/abort behave identically.
+        """
+        from .ops.scan_host import decode_grid_host, host_candidates_values
+
+        cfg = self.config
+        s = cfg.element_width
+        L = pat.length
+        base = cfg.preferred_search_block_size
+        timer.stats.host_routed = True
+
+        per_group: dict = {}
+        candidate_info: dict = {}
+        # responsive abort/progress on multi-MB files without hurting the
+        # scanner's throughput (slices are >> its internal block)
+        slice_elems = max(L, (8 * 1024 * 1024) // s)
+        grids = []
+        for a in range(s):
+            if self._element_grid(file_size, a) >= L:
+                with timer.stage("decode"):
+                    grids.append(
+                        (a, decode_grid_host(
+                            data, file_size, s, cfg.endianness, a
+                        ))
+                    )
+        max_grid = max(
+            (self._element_grid(file_size, a) for a in range(s)), default=0
+        )
+        n_slices = max(1, -(-max_grid // slice_elems))
+        tracker = _BlockProgress(len(blocks), base, progress, aborted)
+        for k in range(n_slices):
+            if aborted():
+                return None
+            e0 = k * slice_elems
+            for a, arr in grids:
+                n_a = len(arr)
+                if e0 >= n_a:
+                    continue
+                count_here = min(slice_elems + L - 1, n_a - e0)
+                if count_here < L:
+                    continue
+                with timer.stage("host_scan"):
+                    offs, vals = host_candidates_values(
+                        pat, arr[e0 : e0 + count_here]
+                    )
+                timer.stats.bytes_scanned += count_here * s
+                # slices own starts within [0, slice_elems)
+                keep = offs < slice_elems
+                offs, vals = offs[keep], vals[keep]
+                timer.stats.candidates += len(offs)
+                for off, val in zip(offs.tolist(), vals.tolist()):
+                    e_global = e0 + off
+                    byte_off = a + e_global * s
+                    block_id = byte_off // base
+                    per_group.setdefault((block_id, a), []).append(e_global)
+                    candidate_info[(a, e_global)] = (byte_off, val)
+            bytes_done = min(file_size, (e0 + slice_elems) * s)
+            if not tracker.advance_to(bytes_done, final=(k == n_slices - 1)):
+                return None
+        if not tracker.finish():
+            return None
         return finalize_candidates(
             pat, cfg.semantics, s, base, file_size, per_group, candidate_info
         )

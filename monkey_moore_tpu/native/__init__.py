@@ -20,7 +20,12 @@ import numpy as np
 
 from ..pattern import CompiledPattern, SearchMode
 
-__all__ = ["native_available", "native_walk", "build_library"]
+__all__ = [
+    "native_available",
+    "native_walk",
+    "native_dense_scan",
+    "build_library",
+]
 
 _HERE = Path(__file__).resolve().parent
 _BUILD = _HERE / "_build"
@@ -79,6 +84,14 @@ def _load() -> Optional[ctypes.CDLL]:
             fn.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, i32p, u32p,
                 u32p, i32p, i32p, ctypes.c_int32, ctypes.c_int32, i64p,
+                ctypes.c_int64,
+            ]
+        for name in ("mm_dense_scan_u8", "mm_dense_scan_u16"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, i32p, i32p, i32p, ctypes.c_int32, i64p,
                 ctypes.c_int64,
             ]
         _lib = lib
@@ -143,6 +156,49 @@ def native_walk(pat: CompiledPattern, data: np.ndarray) -> Optional[np.ndarray]:
     count, out = run(65536)
     if count < 0:
         return None
+    if count > 65536:
+        count, out = run(count)
+    return out[:count].copy()
+
+
+def native_dense_scan(
+    pat: CompiledPattern, data: np.ndarray
+) -> Optional[np.ndarray]:
+    """ALL matching window starts (ascending) via the C dense scanner
+    (``mm_dense_scan_*``) — same semantics as
+    :func:`~monkey_moore_tpu.ops.scan_np.match_positions_np`, several GB/s on
+    one core.  Returns None when the native library is unavailable (callers
+    fall back to the NumPy matcher).  ctypes releases the GIL for the call,
+    so engine-level thread pools scale it across cores."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=pat.dtype)
+    n = len(data)
+    if n < pat.length:
+        return np.zeros(0, dtype=np.int64)
+
+    cur = np.ascontiguousarray(pat.chk_shift_cur, dtype=np.int32)
+    prev = np.ascontiguousarray(pat.chk_shift_prev, dtype=np.int32)
+    expected = np.ascontiguousarray(pat.chk_expected, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    fn = (
+        lib.mm_dense_scan_u8
+        if pat.dtype == np.dtype(np.uint8)
+        else lib.mm_dense_scan_u16
+    )
+
+    def run(cap: int):
+        out = np.empty(max(cap, 1), dtype=np.int64)
+        count = fn(
+            data.ctypes.data_as(ctypes.c_void_p), n, pat.length, len(cur),
+            cur.ctypes.data_as(i32p), prev.ctypes.data_as(i32p),
+            expected.ctypes.data_as(i32p), int(pat.signed_compare),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+        )
+        return int(count), out
+
+    count, out = run(65536)
     if count > 65536:
         count, out = run(count)
     return out[:count].copy()

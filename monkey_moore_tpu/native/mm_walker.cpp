@@ -136,28 +136,122 @@ int64_t mm_walk_wc_u16(const uint16_t *data, int64_t n, int32_t L,
                        tmax, advance, out, cap);
 }
 
-// Dense helper: vectorizable branch-free candidate matcher used by the
-// native CPU fallback when JAX is unavailable (scan all positions, signed
-// adjacent-diff mode).  Returns count; fills up to cap offsets.
-int64_t mm_dense_simple_u8(const uint8_t *data, int64_t n, int32_t L,
-                           const int32_t *expected_diff, int64_t *out,
-                           int64_t cap) {
-  int64_t count = 0;
-  for (int64_t p = 0; p + L <= n; ++p) {
-    bool ok = true;
-    for (int32_t k = 1; k < L; ++k) {
-      if ((int32_t)data[p + k] - (int32_t)data[p + k - 1] !=
-          expected_diff[k]) {
-        ok = false;
-        break;
-      }
+}  // extern "C"
+
+namespace {
+
+// Dense all-positions candidate scan over the generic check tables — the
+// host-side latency path for reference-sized inputs (the reference's whole
+// benchmark range is 128 KiB-16 MiB, /root/reference/benchmarks/
+// bench_search.cpp:70, where a device dispatch's fixed cost dominates).
+//
+// Same semantics as ops/scan_np.match_positions_np: position p matches iff
+// for every check c, diff(data[p+cur[c]], data[p+prev[c]]) == expected[c] —
+// signed int32 subtraction when SIGNED, element-width wraparound otherwise
+// (the two comparison modes of src/core/monkey_moore.cpp:337-339 and
+// :461-464).
+//
+// Speed structure: ONE wraparound-compare pass over the primary check
+// (auto-vectorized byte/word compare into a 0/1 mask; for signed mode the
+// wrap compare admits a superset, since e and e±2^w collide), the mask swept
+// eight entries at a time via uint64 loads, and survivors verified exactly
+// against every check.  Random data passes the primary at ~2^-w, so the
+// verification cost is negligible and throughput is the compare pass's.
+template <typename Ty, bool SIGNED>
+int64_t dense_scan(const Ty *data, int64_t n, int32_t L, int32_t n_checks,
+                   const int32_t *cur, const int32_t *prev,
+                   const int32_t *expected, int64_t *out, int64_t cap) {
+  const int64_t P = n - (int64_t)L + 1;
+  if (P <= 0) return 0;
+  if (n_checks <= 0) {
+    // all-wildcard keyword: every window matches
+    for (int64_t p = 0; p < P; ++p)
+      if (p < cap) out[p] = p;
+    return P;
+  }
+
+  // Primary check: prefer a nonzero expected diff (zero diffs light up
+  // constant regions, e.g. zero-filled ROM padding) — mirrors the device
+  // prefilter's selection rationale (ops/scan_jnp.prefilter_checks).
+  int32_t pc = 0;
+  for (int32_t c = 0; c < n_checks; ++c) {
+    if (expected[c] != 0) {
+      pc = c;
+      break;
     }
-    if (ok) {
-      if (count < cap) out[count] = p;
-      ++count;
+  }
+  const Ty *__restrict__ pa = data + cur[pc];
+  const Ty *__restrict__ pb = data + prev[pc];
+  const Ty pe = (Ty)expected[pc];
+
+  constexpr int64_t B = 4096;
+  uint8_t mask[B];
+  uint8_t *__restrict__ mk = mask;
+  int64_t count = 0;
+  for (int64_t base = 0; base < P; base += B) {
+    const int64_t m = (P - base) < B ? (P - base) : B;
+    // vectorizable compare pass (wraparound subtract in the element type)
+    for (int64_t i = 0; i < m; ++i)
+      mk[i] = (Ty)(pa[base + i] - pb[base + i]) == pe;
+    for (int64_t i = m; i < ((m + 7) & ~7); ++i) mask[i] = 0;
+    // sweep 8 mask entries per u64 test; candidate blocks are rare
+    for (int64_t i = 0; i < m; i += 8) {
+      uint64_t w;
+      __builtin_memcpy(&w, mask + i, 8);
+      if (w == 0) continue;
+      for (int64_t j = i; j < i + 8 && j < m; ++j) {
+        if (!mask[j]) continue;
+        const int64_t p = base + j;
+        bool ok = true;
+        for (int32_t c = 0; c < n_checks; ++c) {
+          if (SIGNED) {
+            if ((int32_t)data[p + cur[c]] - (int32_t)data[p + prev[c]] !=
+                expected[c]) {
+              ok = false;
+              break;
+            }
+          } else {
+            if ((Ty)(data[p + cur[c]] - data[p + prev[c]]) !=
+                (Ty)expected[c]) {
+              ok = false;
+              break;
+            }
+          }
+        }
+        if (ok) {
+          if (count < cap) out[count] = p;
+          ++count;
+        }
+      }
     }
   }
   return count;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t mm_dense_scan_u8(const uint8_t *data, int64_t n, int32_t L,
+                         int32_t n_checks, const int32_t *cur,
+                         const int32_t *prev, const int32_t *expected,
+                         int32_t signed_mode, int64_t *out, int64_t cap) {
+  return signed_mode
+             ? dense_scan<uint8_t, true>(data, n, L, n_checks, cur, prev,
+                                         expected, out, cap)
+             : dense_scan<uint8_t, false>(data, n, L, n_checks, cur, prev,
+                                          expected, out, cap);
+}
+
+int64_t mm_dense_scan_u16(const uint16_t *data, int64_t n, int32_t L,
+                          int32_t n_checks, const int32_t *cur,
+                          const int32_t *prev, const int32_t *expected,
+                          int32_t signed_mode, int64_t *out, int64_t cap) {
+  return signed_mode
+             ? dense_scan<uint16_t, true>(data, n, L, n_checks, cur, prev,
+                                          expected, out, cap)
+             : dense_scan<uint16_t, false>(data, n, L, n_checks, cur, prev,
+                                           expected, out, cap);
 }
 
 }  // extern "C"

@@ -39,6 +39,11 @@ class SearchStats:
     fused_fallbacks: int = 0
     fused_steps: int = 0
     d2h_bytes: int = 0
+    #: True when the whole search ran on the host latency path (small
+    #: inputs, where a device dispatch's fixed cost exceeds the scan)
+    host_routed: bool = False
+    #: host→device bytes uploaded (mesh/sharded paths)
+    h2d_bytes: int = 0
 
     @property
     def total_seconds(self) -> float:
@@ -46,7 +51,9 @@ class SearchStats:
 
     @property
     def scan_bytes_per_second(self) -> float:
-        t = self.stage_seconds.get("device_scan", 0.0)
+        t = self.stage_seconds.get("device_scan", 0.0) + self.stage_seconds.get(
+            "host_scan", 0.0
+        )
         return self.bytes_scanned / t if t > 0 else 0.0
 
     def summary(self) -> str:

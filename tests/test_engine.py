@@ -66,12 +66,16 @@ FILE_DATA_16 = np.array(
 
 
 class TestCorrectness8Bit:
-    # ``test_search_engine.cpp:26-81``
+    # ``test_search_engine.cpp:26-81``; host_thr 0 forces the device scan,
+    # the default routes these small files to the host latency path — both
+    # must produce the identical list
     @pytest.mark.parametrize("semantics", [MatchSemantics.GREEDY, MatchSemantics.REFERENCE])
     # 128: larger than file; 8: divisible; 23: misaligned; 29: splits keyword
     @pytest.mark.parametrize("block_size", [128, 8, 23, 29])
     @pytest.mark.parametrize("chunk_bytes", [37, 4096])
-    def test_all_partitionings(self, tmp_path, semantics, block_size, chunk_bytes):
+    @pytest.mark.parametrize("host_thr", [0, None])
+    def test_all_partitionings(self, tmp_path, semantics, block_size,
+                               chunk_bytes, host_thr):
         path = write_file(tmp_path, FILE_DATA_8)
         cfg = SearchConfig(
             file_path=path,
@@ -81,6 +85,8 @@ class TestCorrectness8Bit:
             device_chunk_bytes=chunk_bytes,
             semantics=semantics,
         )
+        if host_thr is not None:
+            cfg.host_latency_threshold_bytes = host_thr
         results = SearchEngine(cfg).run()
         assert [r.offset for r in results] == [0, 9, 27, 50, 60]
 
@@ -89,7 +95,8 @@ class TestCorrectness16Bit:
     # ``test_search_engine.cpp:83-159``
     @pytest.mark.parametrize("semantics", [MatchSemantics.GREEDY, MatchSemantics.REFERENCE])
     @pytest.mark.parametrize("block_size", [256, 16, 47, 58])
-    def test_little_endian(self, tmp_path, semantics, block_size):
+    @pytest.mark.parametrize("host_thr", [0, None])
+    def test_little_endian(self, tmp_path, semantics, block_size, host_thr):
         path = write_file(tmp_path, FILE_DATA_16.astype("<u2"))
         cfg = SearchConfig(
             file_path=path,
@@ -99,12 +106,15 @@ class TestCorrectness16Bit:
             device_chunk_bytes=64,
             semantics=semantics,
         )
+        if host_thr is not None:
+            cfg.host_latency_threshold_bytes = host_thr
         results = SearchEngine(cfg).run()
         assert [r.offset for r in results] == [0, 18, 54, 100, 120]
 
     @pytest.mark.parametrize("semantics", [MatchSemantics.GREEDY, MatchSemantics.REFERENCE])
     @pytest.mark.parametrize("block_size", [512, 24, 47, 58])
-    def test_big_endian(self, tmp_path, semantics, block_size):
+    @pytest.mark.parametrize("host_thr", [0, None])
+    def test_big_endian(self, tmp_path, semantics, block_size, host_thr):
         path = write_file(tmp_path, FILE_DATA_16.astype(">u2").view(np.uint8))
         cfg = SearchConfig(
             file_path=path,
@@ -115,6 +125,8 @@ class TestCorrectness16Bit:
             device_chunk_bytes=64,
             semantics=semantics,
         )
+        if host_thr is not None:
+            cfg.host_latency_threshold_bytes = host_thr
         results = SearchEngine(cfg).run()
         assert [r.offset for r in results] == [0, 18, 54, 100, 120]
 
@@ -400,6 +412,7 @@ class TestDenseMatchFallback:
             keyword="abcde",
             device_chunk_bytes=4096,
             semantics=semantics,
+            host_latency_threshold_bytes=0,  # force the device path under test
         )
         engine = SearchEngine(cfg)
         results = engine.run()
@@ -419,6 +432,126 @@ class TestDenseMatchFallback:
         # recovered map decodes 'a' to the window's base data value
         for r in results[:3]:
             assert r.values_map[ord("a")] == (r.offset & 0xFF)
+
+
+class TestHostRoute:
+    """Small-input latency path (``engine._scan_host``): searches at or
+    below ``host_latency_threshold_bytes`` must bypass the device entirely
+    (the reference's whole benchmark range, 128 KiB-16 MiB, is
+    dispatch-bound on TPU) and return results identical to the device
+    path."""
+
+    def _offsets(self, cfg):
+        eng = SearchEngine(cfg)
+        res = eng.run()
+        return [r.offset for r in res], [r.values_map for r in res], eng
+
+    @pytest.mark.parametrize(
+        "semantics", [MatchSemantics.GREEDY, MatchSemantics.ALL]
+    )
+    def test_routing_and_equivalence(self, tmp_path, semantics):
+        rng = np.random.default_rng(5)
+        data = rng.integers(0, 256, 300_000).astype(np.uint8)
+        enc = text_u8("monkey", 3)
+        for pos in (0, 131_071, 150_000, len(data) - 6):
+            data[pos : pos + 6] = enc
+        path = write_file(tmp_path, data)
+        base = dict(file_path=path, keyword="monkey", semantics=semantics)
+        offs_h, maps_h, eng_h = self._offsets(SearchConfig(**base))
+        offs_d, maps_d, eng_d = self._offsets(
+            SearchConfig(**base, host_latency_threshold_bytes=0)
+        )
+        assert eng_h.last_stats.host_routed
+        assert eng_h.last_stats.device_dispatches == 0
+        assert not eng_d.last_stats.host_routed
+        assert eng_d.last_stats.device_dispatches > 0
+        assert offs_h == offs_d
+        assert maps_h == maps_d
+        assert 0 in offs_h and (len(data) - 6) in offs_h
+
+    def test_equivalence_16bit_wildcard_be(self, tmp_path):
+        rng = np.random.default_rng(6)
+        data = rng.integers(0, 65536, 80_000).astype(np.uint16)
+        enc = text_u16("dra?on", -16)
+        enc[3] = 12345  # wildcard position: arbitrary value
+        for pos in (17, 40_000, len(data) - 6):
+            data[pos : pos + 6] = enc
+        path = write_file(tmp_path, data.astype(">u2").view(np.uint8))
+        base = dict(
+            file_path=path, keyword="dra?on", wildcard="?",
+            element_width=2, endianness=Endianness.BIG,
+        )
+        offs_h, maps_h, eng_h = self._offsets(SearchConfig(**base))
+        offs_d, maps_d, _ = self._offsets(
+            SearchConfig(**base, host_latency_threshold_bytes=0)
+        )
+        assert eng_h.last_stats.host_routed
+        assert offs_h == offs_d and maps_h == maps_d
+        assert 34 in offs_h  # byte offset of the element-17 plant
+
+    def test_threshold_boundary(self, tmp_path):
+        data = np.zeros(4096, dtype=np.uint8)
+        data[100:105] = text_u8("texts", 7)
+        path = write_file(tmp_path, data)
+        base = dict(file_path=path, keyword="texts")
+        _, _, at = self._offsets(
+            SearchConfig(**base, host_latency_threshold_bytes=4096)
+        )
+        assert at.last_stats.host_routed  # at the threshold: host
+        _, _, below = self._offsets(
+            SearchConfig(**base, host_latency_threshold_bytes=4095)
+        )
+        assert not below.last_stats.host_routed  # just below: device
+
+    def test_progress_parity_and_abort(self, tmp_path):
+        """The host path emits the identical per-block callback sequence
+        (float-accumulated percentages) as the device path, and honors
+        abort mid-scan."""
+        data = np.zeros(100_000, dtype=np.uint8)
+        path = write_file(tmp_path, data)
+        base = dict(
+            file_path=path, keyword="never", preferred_search_block_size=7000
+        )
+
+        def collect(cfg):
+            seen = []
+            SearchEngine(cfg).run(
+                on_progress=lambda pct, step: seen.append((pct, step))
+            )
+            return seen
+
+        host_seen = collect(SearchConfig(**base))
+        dev_seen = collect(
+            SearchConfig(**base, host_latency_threshold_bytes=0)
+        )
+        assert host_seen == dev_seen
+
+        flag = threading.Event()
+
+        def saboteur(pct, step):
+            if step is SearchStep.SEARCHING and pct >= 50:
+                flag.set()
+
+        eng = SearchEngine(SearchConfig(**base))
+        res = eng.run(on_progress=saboteur, abort_flag=flag)
+        assert res == []
+        assert eng.last_stats.host_routed
+
+    def test_devices_config_still_uses_mesh(self, tmp_path):
+        """An explicit ``devices=`` list must keep the mesh path even for
+        small files (the user asked for the mesh)."""
+        import jax
+
+        data = np.zeros(8192, dtype=np.uint8)
+        data[50:54] = text_u8("text", 9)
+        path = write_file(tmp_path, data)
+        cfg = SearchConfig(
+            file_path=path, keyword="text", devices=jax.devices()[:2]
+        )
+        eng = SearchEngine(cfg)
+        results = eng.run()
+        assert [r.offset for r in results] == [50]
+        assert not eng.last_stats.host_routed
 
 
 class TestBlockMath:

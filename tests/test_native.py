@@ -102,3 +102,89 @@ class TestNativeWalker:
         results = reference_walk(pat, data)
         assert results == oracle_search(pat, data)
         assert results[0][1][ord("a")] == ord("a") + 3
+
+
+class TestNativeDenseScan:
+    """The C dense scanner (``mm_dense_scan_*``) — the host latency path's
+    hot loop — must agree with the NumPy matcher exactly (ALL matching
+    window starts, ascending) across widths, modes, and check shapes."""
+
+    @pytest.mark.parametrize("width", [1, 2])
+    def test_fuzz_vs_numpy(self, rng, width):
+        from monkey_moore_tpu.native import native_dense_scan
+        from monkey_moore_tpu.ops.scan_np import match_positions_np
+
+        dtype = np.uint8 if width == 1 else np.uint16
+        mod = 256 if width == 1 else 65536
+        letters = np.arange(97, 123)
+        for trial in range(60):
+            n = int(rng.integers(6, 5000))
+            data = rng.integers(0, mod, n)
+            kw = rng.choice(letters, int(rng.integers(2, 10))).tolist()
+            use_wc = len(kw) >= 3 and rng.random() < 0.4
+            if use_wc:
+                for i in range(1, len(kw) - 1):
+                    if rng.random() < 0.3:
+                        kw[i] = ord("*")
+            for _ in range(int(rng.integers(0, 5))):
+                pos = int(rng.integers(0, max(1, n - len(kw))))
+                data[pos : pos + len(kw)] = (
+                    np.array(kw) + int(rng.integers(-40, 40))
+                ) % mod
+            pat = compile_pattern(kw, "*" if use_wc else 0, dtype=dtype)
+            arr = data.astype(dtype)
+            got = native_dense_scan(pat, arr)
+            assert got is not None
+            want = match_positions_np(pat, arr)
+            assert got.tolist() == want.tolist(), (kw, width, trial)
+
+    def test_value_scan_signed_mode(self, rng):
+        """Signed compare must NOT wrap: a diff of -1 is not a diff of
+        +255 (the wrap-compare primary pass is only a prefilter)."""
+        from monkey_moore_tpu.native import native_dense_scan
+        from monkey_moore_tpu.ops.scan_np import match_positions_np
+
+        pat = compile_pattern(reference_values=[10, 9, 8])  # diffs -1, -1
+        assert pat.signed_compare
+        data = np.array([10, 9, 8, 0, 255, 254, 253, 10, 9, 8],
+                        dtype=np.uint8)
+        # 255,254,253 at offset 4 is itself descending-by-1 (value scan is
+        # relative), so three true matches
+        got = native_dense_scan(pat, data)
+        want = match_positions_np(pat, data)
+        assert got.tolist() == want.tolist() == [0, 4, 7]
+        # wrap/signed distinction: expected diff +255 (values [0, 255]);
+        # data diff -1 wraps to 255 so the wrap-compare primary pass admits
+        # it, but the exact signed verify must reject it
+        pat2 = compile_pattern(reference_values=[0, 255, 0])
+        assert pat2.signed_compare
+        data2 = np.array([3, 2, 3, 0, 255, 0], dtype=np.uint8)
+        got2 = native_dense_scan(pat2, data2)
+        want2 = match_positions_np(pat2, data2)
+        assert got2.tolist() == want2.tolist() == [3]
+
+    def test_zero_diff_primary_selection(self, rng):
+        """Keyword 'aab...' has a zero first diff; the scanner must pick a
+        nonzero primary and stay exact on constant regions."""
+        from monkey_moore_tpu.native import native_dense_scan
+        from monkey_moore_tpu.ops.scan_np import match_positions_np
+
+        pat = compile_pattern("aabc")
+        data = np.zeros(4096, dtype=np.uint8)
+        enc = np.array([5, 5, 6, 7], dtype=np.uint8)
+        data[100:104] = enc
+        data[4092:4096] = enc
+        got = native_dense_scan(pat, data)
+        assert got.tolist() == match_positions_np(pat, data).tolist()
+        assert 100 in got.tolist() and 4092 in got.tolist()
+
+    def test_overflow_retry(self):
+        from monkey_moore_tpu.native import native_dense_scan
+        from monkey_moore_tpu.ops.scan_np import match_positions_np
+
+        data = np.tile(np.array([1, 2, 3], dtype=np.uint8), 80000)
+        pat = compile_pattern([97, 98, 99])  # matches every period
+        got = native_dense_scan(pat, data)
+        want = match_positions_np(pat, data)
+        assert len(got) > 65536
+        assert got.tolist() == want.tolist()

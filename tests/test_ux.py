@@ -308,10 +308,21 @@ class TestProfiling:
         assert len(results) == 1
         assert stats.results == 1
         assert stats.bytes_scanned >= 1000
-        assert stats.device_dispatches >= 1
+        # a 1000-byte file rides the host latency path by default
+        assert stats.host_routed and stats.device_dispatches == 0
         assert stats.candidates == 1
-        assert "device_scan" in stats.stage_seconds
+        assert "host_scan" in stats.stage_seconds
         assert "GB/s" in stats.summary()
+
+        # forcing the device path collects the device-side stats instead
+        engine = SearchEngine(SearchConfig(
+            file_path=p, keyword="statistics", host_latency_threshold_bytes=0
+        ))
+        engine.run()
+        stats = engine.last_stats
+        assert not stats.host_routed
+        assert stats.device_dispatches >= 1
+        assert "device_scan" in stats.stage_seconds
 
     def test_cli_stats_flag(self, tmp_path):
         data = np.zeros(400, dtype=np.uint8)
@@ -322,7 +333,8 @@ class TestProfiling:
         out = run_cli(["search", str(p), "profile", "--cpu", "--no-progress",
                        "--stats"])
         assert out.returncode == 0
-        assert "device_scan" in out.stderr
+        # a 400-byte file rides the host latency path
+        assert "host_scan" in out.stderr
 
 
 class TestI18n:

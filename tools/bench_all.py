@@ -159,21 +159,71 @@ def main():
         print(f"{name:<45} {bps / 1e9:8.2f} GB/s  vs ref {sp}", flush=True)
 
     # Buffer-size ladder (the reference's Range(128<<10, 16<<20) with
-    # RangeMultiplier(4), ``benchmarks/bench_search.cpp:70``) — exposes the
-    # fixed per-dispatch overhead knee: small buffers are dispatch-bound,
-    # large buffers approach the kernel's HBM-bound rate.
+    # RangeMultiplier(4), ``benchmarks/bench_search.cpp:70``).  Measures what
+    # the framework actually runs at these sizes — the engine routes them to
+    # the HOST latency path (config.host_latency_threshold_bytes), so the
+    # sweep times (a) the full engine end-to-end on a real file and (b) the
+    # core-level in-memory scan, the exact apparatus level of the
+    # reference's own benchmark (``bench_search.cpp:30-37`` times
+    # ``MonkeyMoore::search`` over an in-memory buffer).
     sweep = {}
+    sweep_detail = {}
     if not args.no_sweep:
+        import tempfile
+
+        from monkey_moore_tpu.config import SearchConfig
+        from monkey_moore_tpu.engine import SearchEngine
+        from monkey_moore_tpu.ops.scan_host import host_candidates_values
+
+        ref_sweep = {}
+        try:
+            blob = json.loads((REPO / "BASELINE_MEASURED.json").read_text())
+            for key, values in blob.items():
+                if key.startswith("sweep_8bit"):
+                    ref_sweep = values
+        except Exception:
+            pass
+
         pat = compile_pattern("abcde")
-        tile_elems = (
-            8 * LANES if wants_packed(pat, 8 * LANES) else TILE_ELEMS
-        )
+        rng = np.random.default_rng(42)
         print()
         for size in [128 << 10 << (2 * i) for i in range(4)] + [16 << 20]:
-            best = bench_step(pat, size, 1, tile_elems, size)
+            buf = rng.integers(0, 256, size, dtype=np.uint8)
+            path = tempfile.mktemp(suffix=".bin")
+            buf.tofile(path)
+            try:
+                eng = SearchEngine(
+                    SearchConfig(file_path=path, keyword="abcde")
+                )
+                eng.run()  # warm: pattern memo + native scanner build
+                assert eng.last_stats.host_routed, "sweep must ride host path"
+                best = float("inf")
+                for _ in range(args.iters):
+                    t0 = time.perf_counter()
+                    eng.run()
+                    best = min(best, time.perf_counter() - t0)
+            finally:
+                Path(path).unlink(missing_ok=True)
+            core_best = float("inf")
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                host_candidates_values(pat, buf)
+                core_best = min(core_best, time.perf_counter() - t0)
+            base = ref_sweep.get(str(size))
             sweep[str(size)] = size / best
-            print(f"sweep {size >> 10:>6} KiB {size / best / 1e9:8.2f} GB/s",
-                  flush=True)
+            sweep_detail[str(size)] = {
+                "engine_end_to_end_bytes_per_s": size / best,
+                "core_scan_bytes_per_s": size / core_best,
+                "reference_core_bytes_per_s": base,
+                "speedup_end_to_end": (size / best / base) if base else None,
+            }
+            sp = f"{size / best / base:6.1f}x" if base else "   n/a"
+            print(
+                f"sweep {size >> 10:>6} KiB  engine {size / best / 1e9:6.2f}"
+                f" GB/s (vs ref core {sp})  core {size / core_best / 1e9:6.2f}"
+                " GB/s",
+                flush=True,
+            )
 
     out = REPO / "BENCH_DETAIL.json"
     out.write_text(json.dumps({
@@ -181,6 +231,7 @@ def main():
         "device": str(jax.devices()[0]),
         "suites": results,
         "buffer_size_sweep_8bit": sweep,
+        "buffer_size_sweep_8bit_detail": sweep_detail,
     }, indent=2))
     print(f"\nwritten: {out}")
 
