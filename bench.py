@@ -167,7 +167,41 @@ def main():
         step()
         best = min(best, time.perf_counter() - t0)
 
-    value = n / best
+    # Pipelined steady state (the engine's production loop,
+    # SearchConfig.pipeline_depth): keep DEPTH fused steps in flight so
+    # step k+1's dispatch/execution overlaps step k's result fetch.  Every
+    # step's combo buffer is still fetched device→host (the only timing
+    # robust to the relay's async mirage, docs/PERF.md) — just one step
+    # later.  Total/N is the honest steady-state rate.
+    from collections import deque
+
+    from monkey_moore_tpu.dense import (
+        fused_count_extract_finish,
+        fused_count_extract_start,
+    )
+
+    depth = max(1, int(os.environ.get("MMTPU_BENCH_PIPELINE", "2")))
+    pend = deque()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pend.append(
+            fused_count_extract_start(
+                pat, data, n, tile_elems=tile_elems, k_cap=K_CAP
+            )
+        )
+        if len(pend) >= depth:
+            fused_count_extract_finish(pend.popleft())
+    while pend:
+        fused_count_extract_finish(pend.popleft())
+    piped = (time.perf_counter() - t0) / iters
+
+    sync_value = n / best
+    value = max(sync_value, n / piped)
+    print(
+        f"sync best {sync_value / 1e9:.1f} GB/s | pipelined x{depth} "
+        f"steady-state {n / piped / 1e9:.1f} GB/s over {iters} steps",
+        file=sys.stderr,
+    )
     baseline = reference_baseline()
     kind = jax.devices()[0].device_kind
     roofline = HBM_GBPS.get(kind)

@@ -38,6 +38,9 @@ __all__ = [
     "two_phase_candidates",
     "tile_counts",
     "fused_count_extract",
+    "fused_count_extract_start",
+    "fused_count_extract_finish",
+    "FusedPending",
     "fused_count_extract_multi",
     "fused_multi_eligible",
     "auto_k_cap",
@@ -209,7 +212,32 @@ class FusedInfo(NamedTuple):
     d2h_bytes: int = 0  #: bytes this step shipped device→host
 
 
-def fused_count_extract(
+class FusedPending(NamedTuple):
+    """An in-flight fused step: device futures + the metadata
+    :func:`fused_count_extract_finish` needs to fetch and decode them.
+
+    JAX dispatch is asynchronous — ``counts_dev``/``combo_dev`` are device
+    buffers whose computation may still be running.  Keeping ``depth``
+    pendings alive overlaps step ``k+1``'s dispatch/execution with step
+    ``k``'s result fetch, hiding the link's fixed per-transaction latency
+    (the engine's ``pipeline_depth`` knob; docs/PERF.md).  ``eager`` holds
+    an already-final result for the branches that cannot pipeline (the
+    all-wildcard special case).
+    """
+
+    counts_dev: object
+    combo_dev: object
+    pat: object
+    arr_device: object
+    valid_count: int
+    tile_elems: int
+    grid_offset: int
+    k_cap: int
+    p_cap: int
+    eager: tuple = None
+
+
+def fused_count_extract_start(
     pat: CompiledPattern,
     arr_device,
     valid_count: int,
@@ -219,25 +247,13 @@ def fused_count_extract(
     grid_offset: int = 0,
     k_cap: int | None = None,
     p_cap: int = 1024,
-) -> Tuple[np.ndarray, np.ndarray, "FusedInfo"]:
-    """Phases 1 + 2 for device-resident data in ONE device dispatch.
+) -> "FusedPending":
+    """Dispatch phases 1 + 2 WITHOUT fetching the result buffer.
 
-    Returns ``(offsets, values, info)``.  The jitted step computes per-tile
-    prefilter counts, gathers the first ``k_cap`` hot tiles, re-evaluates
-    them with the FULL exact check tables on device (``scan_jnp.
-    exact_phase2`` — prefilter false positives never reach the host), and
-    packs the hot-tile header + exact candidate offsets + recovery values
-    into one int32 buffer: the step's single D2H transaction.  On the relay
-    (fixed ~28 ms dispatch, ~20-30 ms per D2H transaction) this removes the
-    separate extraction dispatch, the counts-array transfer, and any
-    per-hot-tile data transfer relative to ``tile_counts`` +
-    :func:`extract_hot_tiles_device`.  ``k_cap`` auto-sizes from the
-    expected prefilter false-positive rate (capped checks admit ~2^-8c of
-    random windows); overflowing ``k_cap`` tiles or ``p_cap`` candidates
-    falls back to the batched path (one extra dispatch — rare).
-
-    TPU-native replacement for the reference's per-thread "scan then walk
-    the block again" structure (``src/core/search_engine.cpp:107-168``).
+    The async half of :func:`fused_count_extract`: returns immediately
+    after enqueueing the fused device step, so a caller can dispatch the
+    next chunk before paying the device→host round trip for this one
+    (:class:`FusedPending`).
     """
     import jax.numpy as jnp
 
@@ -258,9 +274,13 @@ def fused_count_extract(
         offs, vals = extract_hot_tiles_device(
             pat, arr_device, counts, valid_count, tile_elems, grid_offset
         )
-        return offs, vals, FusedInfo(
+        info = FusedInfo(
             int((counts > 0).sum()), int(counts.sum()),
             candidates=len(offs), fallback=True, d2h_bytes=counts.nbytes,
+        )
+        return FusedPending(
+            None, None, pat, arr_device, valid_count, tile_elems,
+            grid_offset, k_cap, p_cap, eager=(offs, vals, info),
         )
 
     packed = arr_device.dtype == np.int32 and np.dtype(pat.dtype) != np.int32
@@ -320,10 +340,23 @@ def fused_count_extract(
                 for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
             ),
         )
+    return FusedPending(
+        counts_dev, combo_dev, pat, arr_device, valid_count, tile_elems,
+        grid_offset, k_cap, p_cap,
+    )
+
+
+def fused_count_extract_finish(
+    pending: "FusedPending",
+) -> Tuple[np.ndarray, np.ndarray, "FusedInfo"]:
+    """Fetch + decode an in-flight fused step (the blocking half)."""
+    if pending.eager is not None:
+        return pending.eager
     # ONE device→host transaction per step: [n_hot, total, n_cand,
     # hot_ids, hot_counts, flat_idx, v0, v1] — every extra transaction
     # costs ~20-30 ms of relay latency regardless of size
-    combo = np.asarray(combo_dev)
+    combo = np.asarray(pending.combo_dev)
+    k_cap, p_cap = pending.k_cap, pending.p_cap
     info = _combo_info(combo, k_cap, p_cap)
     if info.hot_tiles == 0:
         return *_EMPTY, info
@@ -331,19 +364,62 @@ def fused_count_extract(
         # capacity overflow: fetch the full counts and run the batched
         # gather + host extraction (degraded mode — surfaced via
         # ``info.fallback`` so callers can log/count it)
-        counts_np = np.asarray(counts_dev)
+        counts_np = np.asarray(pending.counts_dev)
         offs, vals = extract_hot_tiles_device(
-            pat, arr_device, counts_np, valid_count,
-            tile_elems, grid_offset,
+            pending.pat, pending.arr_device, counts_np,
+            pending.valid_count, pending.tile_elems, pending.grid_offset,
         )
         info = info._replace(
             candidates=len(offs),
             d2h_bytes=info.d2h_bytes + counts_np.nbytes,
         )
         return offs, vals, info
-    offsets, values = _parse_combo(combo, k_cap, p_cap, tile_elems,
-                                   grid_offset)
+    offsets, values = _parse_combo(
+        combo, k_cap, p_cap, pending.tile_elems, pending.grid_offset
+    )
     return offsets, values, info
+
+
+def fused_count_extract(
+    pat: CompiledPattern,
+    arr_device,
+    valid_count: int,
+    use_pallas: bool = True,
+    interpret: bool = False,
+    tile_elems: int = TILE_ELEMS,
+    grid_offset: int = 0,
+    k_cap: int | None = None,
+    p_cap: int = 1024,
+) -> Tuple[np.ndarray, np.ndarray, "FusedInfo"]:
+    """Phases 1 + 2 for device-resident data in ONE device dispatch.
+
+    Returns ``(offsets, values, info)``.  The jitted step computes per-tile
+    prefilter counts, gathers the first ``k_cap`` hot tiles, re-evaluates
+    them with the FULL exact check tables on device (``scan_jnp.
+    exact_phase2`` — prefilter false positives never reach the host), and
+    packs the hot-tile header + exact candidate offsets + recovery values
+    into one int32 buffer: the step's single D2H transaction.  On the relay
+    (fixed ~28 ms dispatch, ~20-30 ms per D2H transaction) this removes the
+    separate extraction dispatch, the counts-array transfer, and any
+    per-hot-tile data transfer relative to ``tile_counts`` +
+    :func:`extract_hot_tiles_device`.  ``k_cap`` auto-sizes from the
+    expected prefilter false-positive rate (capped checks admit ~2^-8c of
+    random windows); overflowing ``k_cap`` tiles or ``p_cap`` candidates
+    falls back to the batched path (one extra dispatch — rare).
+
+    TPU-native replacement for the reference's per-thread "scan then walk
+    the block again" structure (``src/core/search_engine.cpp:107-168``).
+    Split into :func:`fused_count_extract_start` (async dispatch) +
+    :func:`fused_count_extract_finish` (fetch) so chunked callers can
+    pipeline steps (``SearchConfig.pipeline_depth``).
+    """
+    return fused_count_extract_finish(
+        fused_count_extract_start(
+            pat, arr_device, valid_count, use_pallas=use_pallas,
+            interpret=interpret, tile_elems=tile_elems,
+            grid_offset=grid_offset, k_cap=k_cap, p_cap=p_cap,
+        )
+    )
 
 
 def _combo_info(combo: np.ndarray, k_cap: int, p_cap: int) -> FusedInfo:

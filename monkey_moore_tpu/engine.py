@@ -318,7 +318,6 @@ class SearchEngine:
         from .dense import (
             TILE_ELEMS,
             extract_hot_tiles,
-            fused_count_extract,
             tile_counts,
             wants_packed,
         )
@@ -369,6 +368,76 @@ class SearchEngine:
 
         tracker = _BlockProgress(len(blocks), base, progress, aborted)
 
+        def record_step(a, e0, offs, vals, finfo, counts_hot):
+            """Shared accounting + candidate recording for one finished
+            (chunk, alignment) step."""
+            if finfo is not None:
+                hot_here = finfo.hot_tiles
+                timer.stats.fused_steps += 1
+                timer.stats.d2h_bytes += finfo.d2h_bytes
+                if finfo.fallback:
+                    timer.stats.fused_fallbacks += 1
+                    log(
+                        "fused step overflow (hot=", finfo.hot_tiles,
+                        " cand=", finfo.candidates,
+                        "): counts-fetch fallback",
+                    )
+            else:
+                hot_here = counts_hot
+            if not hot_here:
+                return
+            timer.stats.hot_tiles += hot_here
+            timer.stats.candidates += len(offs)
+            # chunk scans only own starts within [0, chunk_elems)
+            keep = offs < chunk_elems
+            offs, vals = offs[keep], vals[keep]
+            for off, val in zip(offs.tolist(), vals.tolist()):
+                e_global = e0 + off
+                byte_off = a + e_global * s
+                if own_bytes is not None and not (
+                    own_bytes[0] <= byte_off < own_bytes[1]
+                ):
+                    continue
+                block_id = byte_off // base
+                per_group.setdefault((block_id, a), []).append(e_global)
+                candidate_info[(a, e_global)] = (byte_off, val)
+
+        # Pipelined fused steps (resident path): up to ``pipeline_depth``
+        # dispatches stay in flight, so chunk k+1's dispatch + execution
+        # overlaps chunk k's result fetch — on a latency-dominated link the
+        # fetch round trip hides behind the next chunk's compute
+        # (docs/PERF.md).  The deque holds (meta, FusedPending) plus
+        # progress markers (meta, None) so callbacks fire in chunk order.
+        from collections import deque
+
+        from .dense import fused_count_extract_finish, fused_count_extract_start
+
+        depth = max(1, cfg.pipeline_depth)
+        pending: deque = deque()  # (meta, FusedPending) steps + (meta, None)
+        in_flight = [0]  # unfetched steps in the deque (markers are free)
+
+        def flush_one() -> bool:
+            meta, pnd = pending.popleft()
+            if pnd is not None:
+                in_flight[0] -= 1
+                a, e0 = meta
+                with timer.stage("device_scan"):
+                    offs, vals, finfo = fused_count_extract_finish(pnd)
+                record_step(a, e0, offs, vals, finfo, None)
+                return True
+            # progress marker: a chunk's steps always precede its marker in
+            # the FIFO, so callbacks fire in chunk order
+            bytes_done, final = meta
+            return tracker.advance_to(bytes_done, final=final)
+
+        def flush(max_steps: int) -> bool:
+            while in_flight[0] > max_steps or (
+                in_flight[0] == 0 and pending
+            ):
+                if not flush_one():
+                    return False
+            return True
+
         for k in range(n_chunks):
             if aborted():
                 return None
@@ -381,9 +450,10 @@ class SearchEngine:
                     e0 * s >= own_bytes[1]
                 ):
                     bytes_done = min(file_size, (e0 + chunk_elems) * s)
-                    if not tracker.advance_to(
-                        bytes_done, final=(k == n_chunks - 1)
-                    ):
+                    pending.append(
+                        ((bytes_done, k == n_chunks - 1), None)
+                    )
+                    if not flush(depth):
                         return None
                     continue
             timer.stats.chunks += 1
@@ -419,7 +489,9 @@ class SearchEngine:
                             res_offs, res_vals = extract_hot_tiles(
                                 pat, arr[:count_here], over, tile_elems
                             )
-                    counts = None
+                    timer.stats.device_dispatches += 1
+                    timer.stats.bytes_scanned += count_here * s
+                    record_step(a, e0, res_offs, res_vals, finfo, None)
                 elif resident is not None:
                     with timer.stage("device_scan"):
                         dev_arr = resident.grid_chunk(
@@ -435,15 +507,22 @@ class SearchEngine:
                         # fused one-dispatch counts + hot-tile gather: a
                         # chunk with matches costs one relay round-trip
                         # instead of two (counts, then extraction gather),
-                        # and only the hot-tile header crosses D2H
-                        res_offs, res_vals, finfo = fused_count_extract(
+                        # and only the hot-tile header crosses D2H; the
+                        # fetch is deferred (pipelined) behind later
+                        # dispatches
+                        pnd = fused_count_extract_start(
                             pat,
                             dev_arr,
                             count_here,
                             use_pallas=cfg.use_pallas,
                             tile_elems=tile_elems,
                         )
-                    counts = None  # header replaces the counts transfer
+                    timer.stats.device_dispatches += 1
+                    timer.stats.bytes_scanned += count_here * s
+                    pending.append(((a, e0), pnd))
+                    in_flight[0] += 1
+                    if not flush(depth):
+                        return None
                 else:
                     with timer.stage("decode"):
                         arr = self._decode_grid(data, a, e0, count_here)
@@ -457,51 +536,32 @@ class SearchEngine:
                             use_pallas=cfg.use_pallas,
                             tile_elems=tile_elems,
                         )
-                timer.stats.device_dispatches += 1
-                timer.stats.bytes_scanned += count_here * s
-                if counts is None:
-                    hot_here = finfo.hot_tiles
-                    timer.stats.fused_steps += 1
-                    timer.stats.d2h_bytes += finfo.d2h_bytes
-                    if finfo.fallback:
-                        timer.stats.fused_fallbacks += 1
-                        log(
-                            "fused step overflow (hot=", finfo.hot_tiles,
-                            " cand=", finfo.candidates,
-                            "): counts-fetch fallback",
-                        )
-                else:
+                    timer.stats.device_dispatches += 1
+                    timer.stats.bytes_scanned += count_here * s
                     hot_here = int((counts > 0).sum())
-                if hot_here:
-                    timer.stats.hot_tiles += hot_here
-                    with timer.stage("host_extract"):
-                        if counts is None:
-                            # already extracted by the fused dispatch
-                            # (resident single-device or sharded mesh path)
-                            offs, vals = res_offs, res_vals
-                        else:
+                    offs = vals = None
+                    if hot_here:
+                        with timer.stage("host_extract"):
                             offs, vals = extract_hot_tiles(
                                 pat, arr[:count_here], counts, tile_elems
                             )
-                    timer.stats.candidates += len(offs)
-                    # chunk scans only own starts within [0, chunk_elems)
-                    keep = offs < chunk_elems
-                    offs, vals = offs[keep], vals[keep]
-                    for off, val in zip(offs.tolist(), vals.tolist()):
-                        e_global = e0 + off
-                        byte_off = a + e_global * s
-                        if own_bytes is not None and not (
-                            own_bytes[0] <= byte_off < own_bytes[1]
-                        ):
-                            continue
-                        block_id = byte_off // base
-                        per_group.setdefault((block_id, a), []).append(e_global)
-                        candidate_info[(a, e_global)] = (byte_off, val)
+                    record_step(a, e0, offs, vals, None, hot_here)
             # progress: blocks fully covered by the chunks processed so far
+            # (deferred behind any in-flight steps so callbacks stay in
+            # chunk order)
             bytes_done = min(file_size, (e0 + chunk_elems) * s)
-            if not tracker.advance_to(bytes_done, final=(k == n_chunks - 1)):
-                return None
+            if pending:
+                pending.append(((bytes_done, k == n_chunks - 1), None))
+                if not flush(depth):
+                    return None
+            else:
+                if not tracker.advance_to(
+                    bytes_done, final=(k == n_chunks - 1)
+                ):
+                    return None
 
+        if not flush(0):
+            return None
         if not tracker.finish():
             return None
 

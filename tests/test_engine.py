@@ -434,6 +434,69 @@ class TestDenseMatchFallback:
             assert r.values_map[ord("a")] == (r.offset & 0xFF)
 
 
+class TestPipelinedFusedSteps:
+    """The resident path keeps ``pipeline_depth`` fused dispatches in
+    flight (chunk k+1 dispatched before chunk k's result fetch).  Results
+    and the per-block progress callback sequence must be identical at
+    every depth, including with abort mid-pipeline."""
+
+    @pytest.mark.parametrize("width", [1, 2])
+    def test_depth_invariance(self, tmp_path, width):
+        rng = np.random.default_rng(11)
+        dtype = np.uint8 if width == 1 else np.uint16
+        mod = 1 << (8 * width)
+        data = rng.integers(0, mod, 120_000).astype(dtype)
+        enc = (text_u8 if width == 1 else text_u16)("monkey", 3)
+        for pos in (0, 30_001, 59_999, 90_000, len(data) - 6):
+            data[pos : pos + 6] = enc.astype(dtype)
+        path = write_file(tmp_path, data.astype(f"<u{width}"))
+
+        def run(depth):
+            cfg = SearchConfig(
+                file_path=path,
+                keyword="monkey",
+                element_width=width,
+                device_chunk_bytes=16_384,  # many chunks: real pipelining
+                host_latency_threshold_bytes=0,  # force the resident path
+                pipeline_depth=depth,
+            )
+            seen = []
+            eng = SearchEngine(cfg)
+            res = eng.run(
+                on_progress=lambda pct, step: seen.append((pct, step))
+            )
+            assert eng.last_stats.fused_steps >= 4
+            return [r.offset for r in res], seen
+
+        offs1, prog1 = run(1)
+        assert offs1 == [
+            0, 30_001 * width, 59_999 * width, 90_000 * width,
+            (len(data) - 6) * width,
+        ]
+        for depth in (2, 4):
+            offs, prog = run(depth)
+            assert offs == offs1
+            assert prog == prog1
+
+    def test_abort_mid_pipeline(self, tmp_path):
+        data = np.zeros(200_000, dtype=np.uint8)
+        path = write_file(tmp_path, data)
+        flag = threading.Event()
+
+        def saboteur(pct, step):
+            if step is SearchStep.SEARCHING and pct >= 40:
+                flag.set()
+
+        cfg = SearchConfig(
+            file_path=path, keyword="never",
+            device_chunk_bytes=16_384,
+            host_latency_threshold_bytes=0,
+            pipeline_depth=3,
+        )
+        eng = SearchEngine(cfg)
+        assert eng.run(on_progress=saboteur, abort_flag=flag) == []
+
+
 class TestHostRoute:
     """Small-input latency path (``engine._scan_host``): searches at or
     below ``host_latency_threshold_bytes`` must bypass the device entirely
