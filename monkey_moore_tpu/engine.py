@@ -658,13 +658,23 @@ class SearchEngine:
     def _scan_reference(self, pat, data, file_size, blocks, progress, aborted,
                         timer, own_bytes=None, gather=None):
         """Exact reference semantics: sequential walk per (block, alignment),
-        mirroring the worker lambda (``search_engine.cpp:107-168``).
+        run over a thread pool of ``preferred_num_threads`` workers — the
+        mirror of the reference's ≤N concurrent ``std::async`` futures
+        (``search_engine.cpp:82-175``; default = hardware concurrency,
+        ``search_engine.hpp:35``).  The native walker is a ctypes call that
+        releases the GIL, so block walks genuinely run in parallel; one
+        progress callback fires per completed block (float accumulation of
+        equal increments is completion-order independent, matching the
+        reference's mutex-guarded accumulator, ``:161-165``).
 
         Multi-host: a block is walked by the host whose ``own_bytes`` region
         contains its start (blocks are the reference's independent work
         units); per-host (offset, recovery values) lists are all-gathered
         and every host rebuilds the identical equivalency maps.
         """
+        import concurrent.futures
+        import time as _time
+
         from .ops.recover import recovery_shifts
 
         cfg = self.config
@@ -675,40 +685,89 @@ class SearchEngine:
         shifts = recovery_shifts(pat)
         tracker = _BlockProgress(len(blocks), cfg.preferred_search_block_size,
                                  progress, aborted)
-        for offset, size in blocks:
-            if aborted():
-                return None
-            if own_bytes is not None and not (
-                own_bytes[0] <= offset < own_bytes[1]
-            ):
-                if not tracker.step():
-                    return None
-                continue
+
+        def walk_block(offset, size):
+            """Worker lambda mirror (``search_engine.cpp:107-168``): decode
+            both alignment grids of one block, walk them, return per-match
+            (byte_off, vmap, v0, v1) plus the bytes walked."""
+            from .ops.scan_host import decode_grid_host
+
             raw = data[offset : offset + size]
+            out = []
+            walked_bytes = 0
             for a in range(s):
                 count = max(0, (size - a) // s)
-                with timer.stage("decode"):
-                    arr = decode_elements(
-                        raw[a : a + count * s].tobytes(), s, cfg.endianness
-                    )
-                with timer.stage("reference_walk"):
-                    walked = reference_walk(pat, arr)
-                for pos, vmap in walked:
+                # zero-copy element views where the layout allows (8-bit and
+                # 16-bit-LE walk the memmap bytes in place)
+                arr = decode_grid_host(raw, size, s, cfg.endianness, a)
+                for pos, vmap in reference_walk(pat, arr):
                     byte_off = offset + pos * s + a
-                    if gather is not None:
-                        # ship the numeric recovery values (the same ones
-                        # the walker derived vmap from, ``oracle._emit``)
-                        v0 = int(arr[pos + shifts[0]])
-                        v1 = (
-                            int(arr[pos + shifts[1]])
-                            if len(shifts) > 1
-                            else v0
-                        )
-                        flat_offs.append(byte_off)
-                        flat_vals.append((v0, v1))
-                    else:
-                        results.append((byte_off, vmap))
-                timer.stats.bytes_scanned += count * s
+                    v0 = int(arr[pos + shifts[0]])
+                    v1 = (
+                        int(arr[pos + shifts[1]])
+                        if len(shifts) > 1
+                        else v0
+                    )
+                    out.append((byte_off, vmap, v0, v1))
+                walked_bytes += count * s
+            return out, walked_bytes
+
+        def consume(block_results):
+            for byte_off, vmap, v0, v1 in block_results:
+                if gather is not None:
+                    # ship the numeric recovery values (the same ones the
+                    # walker derived vmap from, ``oracle._emit``)
+                    flat_offs.append(byte_off)
+                    flat_vals.append((v0, v1))
+                else:
+                    results.append((byte_off, vmap))
+
+        own = [
+            b for b in blocks
+            if own_bytes is None or own_bytes[0] <= b[0] < own_bytes[1]
+        ]
+        skipped = len(blocks) - len(own)
+        n_threads = cfg.preferred_num_threads or (os.cpu_count() or 1)
+
+        t_walk0 = _time.perf_counter()
+        if n_threads <= 1 or len(own) <= 1:
+            # single worker: walk inline (no pool overhead)
+            for offset, size in own:
+                if aborted():
+                    return None
+                with timer.stage("reference_walk"):
+                    block_results, walked_bytes = walk_block(offset, size)
+                consume(block_results)
+                timer.stats.bytes_scanned += walked_bytes
+                if not tracker.step():
+                    return None
+        else:
+            # ≤ n_threads blocks in flight, harvested in completion order
+            # like the engine thread's future loop (``:83-102``); abort
+            # stops submitting and abandons unharvested futures
+            with concurrent.futures.ThreadPoolExecutor(
+                max_workers=n_threads
+            ) as pool:
+                futures = {
+                    pool.submit(walk_block, off, sz): (off, sz)
+                    for off, sz in own
+                }
+                try:
+                    for fut in concurrent.futures.as_completed(futures):
+                        block_results, walked_bytes = fut.result()
+                        consume(block_results)
+                        timer.stats.bytes_scanned += walked_bytes
+                        if not tracker.step():
+                            return None
+                finally:
+                    for fut in futures:
+                        fut.cancel()
+            timer.stats.stage_seconds["reference_walk"] = (
+                timer.stats.stage_seconds.get("reference_walk", 0.0)
+                + _time.perf_counter()
+                - t_walk0
+            )
+        for _ in range(skipped):
             if not tracker.step():
                 return None
         if gather is not None:

@@ -434,6 +434,77 @@ class TestDenseMatchFallback:
             assert r.values_map[ord("a")] == (r.offset & 0xFF)
 
 
+class TestReferenceThreadPool:
+    """``_scan_reference`` walks blocks over a ≤N-worker pool (the mirror
+    of the reference's ``std::async`` block pool,
+    ``search_engine.cpp:82-175``).  Results and the progress callback
+    sequence must be invariant in the thread count."""
+
+    @pytest.mark.parametrize("width", [1, 2])
+    def test_thread_count_invariance(self, tmp_path, width):
+        rng = np.random.default_rng(13)
+        dtype = np.uint8 if width == 1 else np.uint16
+        mod = 1 << (8 * width)
+        data = rng.integers(0, mod, 60_000).astype(dtype)
+        enc = (text_u8 if width == 1 else text_u16)("monkey", 5)
+        for pos in (7, 20_003, 40_000, len(data) - 6):
+            data[pos : pos + 6] = enc.astype(dtype)
+        kind = ">u2" if width == 2 else "<u1"
+        path = write_file(
+            tmp_path,
+            data.astype(kind).view(np.uint8) if width == 2 else data,
+        )
+
+        def run(threads):
+            cfg = SearchConfig(
+                file_path=path,
+                keyword="monkey",
+                element_width=width,
+                endianness=Endianness.BIG if width == 2 else
+                Endianness.LITTLE,
+                semantics=MatchSemantics.REFERENCE,
+                preferred_search_block_size=4096,  # many blocks
+                preferred_num_threads=threads,
+            )
+            seen = []
+            res = SearchEngine(cfg).run(
+                on_progress=lambda pct, step: seen.append((pct, step))
+            )
+            return [r.offset for r in res], [r.values_map for r in res], seen
+
+        offs1, maps1, prog1 = run(1)
+        assert offs1 == [
+            7 * width, 20_003 * width, 40_000 * width,
+            (len(data) - 6) * width,
+        ]
+        for threads in (2, 4, 0):  # 0 = auto (hardware concurrency)
+            offs, maps, prog = run(threads)
+            assert offs == offs1
+            assert maps == maps1
+            # equal float increments: the pct sequence is completion-order
+            # independent (``search_engine.cpp:161-165``)
+            assert prog == prog1
+
+    def test_abort_with_pool(self, tmp_path):
+        data = np.zeros(80_000, dtype=np.uint8)
+        path = write_file(tmp_path, data)
+        flag = threading.Event()
+
+        def saboteur(pct, step):
+            if step is SearchStep.SEARCHING and pct >= 30:
+                flag.set()
+
+        cfg = SearchConfig(
+            file_path=path, keyword="never",
+            semantics=MatchSemantics.REFERENCE,
+            preferred_search_block_size=2048,
+            preferred_num_threads=4,
+        )
+        assert SearchEngine(cfg).run(
+            on_progress=saboteur, abort_flag=flag
+        ) == []
+
+
 class TestPipelinedFusedSteps:
     """The resident path keeps ``pipeline_depth`` fused dispatches in
     flight (chunk k+1 dispatched before chunk k's result fetch).  Results
