@@ -344,6 +344,30 @@ class SearchEngine:
 
             mesh = make_mesh(list(cfg.devices))
 
+            # Sharded resident corpus: upload once (NamedSharding), derive
+            # every grid on device, scan the WHOLE corpus in one collective
+            # dispatch per alignment — repeat searches transfer zero corpus
+            # bytes (the round-3 path host-decoded + re-uploaded every
+            # chunk).  Multi-host (own_bytes) keeps the chunked path.
+            if own_bytes is None and file_size:
+                from .parallel.resident import get_sharded_corpus
+
+                d = len(list(cfg.devices))
+                per_dev = -(-file_size // d)
+                tile_m = min(
+                    TILE_ELEMS, max(64, 1 << (per_dev - 1).bit_length())
+                )
+                with timer.stage("corpus_upload"):
+                    corpus = get_sharded_corpus(
+                        cfg.file_path, file_size, mesh, tile_m,
+                        cfg.resident_bytes_limit,
+                    )
+                if corpus is not None:
+                    return self._scan_mesh_resident(
+                        pat, data, file_size, blocks, progress, aborted,
+                        timer, corpus, mesh,
+                    )
+
         # Resident corpus: upload once, derive element grids on device;
         # chunks then cost no host→device transfer at all.
         resident = None
@@ -573,6 +597,114 @@ class SearchEngine:
                 gather, candidate_info, s, base, timer
             )
 
+        return finalize_candidates(
+            pat, cfg.semantics, s, base, file_size, per_group, candidate_info
+        )
+
+    # ------------------------------------------------------------------
+    def _scan_mesh_resident(self, pat, data, file_size, blocks, progress,
+                            aborted, timer, corpus, mesh):
+        """Whole-corpus mesh scan against a sharded resident corpus: per
+        alignment grid, ONE collective fused dispatch (per-device SWAR/XLA
+        prefilter + ppermute tile halo + on-device exact phase 2), with the
+        corpus words and all per-(pattern, geometry) operands resident on
+        device (``parallel/resident.py``).  H2D per repeat search: zero.
+        """
+        from .dense import _prefilter_sel, auto_k_cap, extract_hot_tiles
+        from .ops.scan_host import decode_grid_host
+        from .ops.scan_jnp import pattern_device_args
+        from .parallel.sharded import (
+            _fused_mode,
+            _sharded_fused_fn,
+            parse_sharded_combos,
+        )
+
+        cfg = self.config
+        s = cfg.element_width
+        L = pat.length
+        base = cfg.preferred_search_block_size
+        tile_elems = corpus.tile_elems
+        width = np.dtype(pat.dtype).itemsize
+        d = corpus.n_devices
+        t_loc = corpus.t_loc(s)
+
+        if getattr(corpus, "fresh", False):
+            timer.stats.h2d_bytes += corpus.uploaded_bytes
+            corpus.fresh = False
+
+        pairs, _, max_shift = _prefilter_sel(pat)
+        mode = _fused_mode(cfg.use_pallas, False, tile_elems, max_shift)
+        if not pairs:
+            mode = "xla"  # all-wildcard: every tile hot; simple body
+        pairs_exact = tuple(
+            (int(c), int(p))
+            for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
+        )
+
+        per_group: dict = {}
+        candidate_info: dict = {}
+        tracker = _BlockProgress(len(blocks), base, progress, aborted)
+        for a in range(s):
+            if aborted():
+                return None
+            valid_count = self._element_grid(file_size, a)
+            if valid_count < L:
+                continue
+            timer.stats.chunks += 1
+            k_cap = auto_k_cap(pat, valid_count, tile_elems, len(pairs))
+            p_cap = 1024
+            with timer.stage("device_scan"):
+                dev_in = corpus.grid(
+                    s, cfg.endianness, a, packed=(mode != "xla")
+                )
+                valid2_dev, vtvr2_dev, expected_in, wc_run = (
+                    corpus.step_operands(pat, mode, valid_count, s)
+                )
+                _, _, exp_exact, recovery = pattern_device_args(pat)
+                fn = _sharded_fused_fn(
+                    mesh, pairs=pairs, length=L, tile_elems=tile_elems,
+                    k_cap=k_cap, p_cap=p_cap,
+                    signed_compare=pat.signed_compare,
+                    pairs_exact=pairs_exact, mode=mode, width=width,
+                    interpret=False, t_loc=t_loc, wc_run=wc_run,
+                )
+                counts_dev, combos_dev = fn(
+                    dev_in, valid2_dev, vtvr2_dev, expected_in, exp_exact,
+                    recovery,
+                )
+                t_total = max(1, -(-valid_count // tile_elems))
+                offs, vals, finfo, over = parse_sharded_combos(
+                    counts_dev, combos_dev, d, t_loc, t_total, k_cap,
+                    p_cap, tile_elems, 0,
+                )
+            timer.stats.device_dispatches += 1
+            timer.stats.bytes_scanned += valid_count * s
+            timer.stats.fused_steps += 1
+            timer.stats.d2h_bytes += finfo.d2h_bytes
+            if over is not None:
+                timer.stats.fused_fallbacks += 1
+                log(
+                    "sharded fused step overflow (hot=", finfo.hot_tiles,
+                    "): host extraction fallback",
+                )
+                with timer.stage("decode"):
+                    arr = decode_grid_host(
+                        data, file_size, s, cfg.endianness, a
+                    )
+                with timer.stage("host_extract"):
+                    offs, vals = extract_hot_tiles(
+                        pat, arr, over, tile_elems
+                    )
+            if finfo.hot_tiles:
+                timer.stats.hot_tiles += finfo.hot_tiles
+                timer.stats.candidates += len(offs)
+            for off, val in zip(offs.tolist(), vals.tolist()):
+                byte_off = a + off * s
+                block_id = byte_off // base
+                per_group.setdefault((block_id, a), []).append(off)
+                candidate_info[(a, off)] = (byte_off, val)
+        if not tracker.finish():
+            return None
         return finalize_candidates(
             pat, cfg.semantics, s, base, file_size, per_group, candidate_info
         )

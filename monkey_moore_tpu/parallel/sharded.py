@@ -32,6 +32,8 @@ __all__ = [
     "sharded_candidates",
     "sharded_tile_counts",
     "sharded_fused_step",
+    "sharded_step_operands",
+    "parse_sharded_combos",
     "shard_grid",
 ]
 
@@ -310,6 +312,61 @@ def _sharded_fused_fn(
     return jax.jit(mapped)
 
 
+def sharded_step_operands(
+    pat: CompiledPattern,
+    mode: str,
+    valid_count: int,
+    t_loc: int,
+    tile_elems: int,
+    d: int,
+):
+    """Host-side per-device boundary/expected operands for the sharded
+    fused step: ``(valid2, vtvr2, expected_in, wc_run)``.
+
+    ``valid2`` carries the per-device valid encoding the scan body masks
+    on (element count for the XLA body; the SWAR kernel's
+    [boundary-block, remainder] encoding otherwise); ``vtvr2`` the
+    phase-2 [valid-tiles, remainder] pairs.  Shared by the chunked path
+    (:func:`sharded_fused_step`) and the resident-corpus path, which
+    memoizes the device copies per (pattern, geometry).
+    """
+    L = pat.length
+    from ..dense import _prefilter_sel
+
+    _, exp_sel, _ = _prefilter_sel(pat)
+    e_loc = t_loc * tile_elems
+    bases = np.arange(d, dtype=np.int64) * e_loc
+    # per-device valid counts / boundary encodings (int32-safe clipping)
+    valid_loc = np.clip(valid_count - bases, 0, e_loc + tile_elems)
+    vtvr2 = np.stack(
+        [valid_loc // tile_elems, valid_loc % tile_elems], axis=1
+    ).astype(np.int32)
+
+    wc_run = None
+    if mode == "xla":
+        valid2 = valid_loc.astype(np.int32)[:, None]
+        expected_in = jnp.asarray(exp_sel)
+    else:
+        from ..ops.scan_pallas import swar_dispatch_args
+
+        expected_in, _, static = swar_dispatch_args(
+            pat, t_loc, valid_count, tile_elems // LANES_
+        )
+        # the formulation the expected operand was packed for MUST be the
+        # one the kernel traces (static jit key — an env flip between
+        # calls must retrace, not reuse)
+        wc_run = static["wc_run"]
+        block_elems = static["tile_rows"] * LANES_  # elements per block
+        lim = valid_count - L
+        lim_loc = np.clip(
+            lim - bases, -block_elems, (t_loc + 1) * tile_elems
+        )
+        valid2 = np.stack(
+            [lim_loc // block_elems, lim_loc % block_elems], axis=1
+        ).astype(np.int32)
+    return valid2, vtvr2, expected_in, wc_run
+
+
 def sharded_fused_step(
     pat: CompiledPattern,
     arr: np.ndarray,
@@ -360,44 +417,17 @@ def sharded_fused_step(
     else:
         arr = arr[:total]
 
-    e_loc = t_loc * tile_elems
-    bases = np.arange(d, dtype=np.int64) * e_loc
-    # per-device valid counts / boundary encodings (int32-safe clipping)
-    valid_loc = np.clip(valid_count - bases, 0, e_loc + tile_elems)
-    vtvr2 = np.stack(
-        [valid_loc // tile_elems, valid_loc % tile_elems], axis=1
-    ).astype(np.int32)
+    valid2, vtvr2, expected_in, wc_run = sharded_step_operands(
+        pat, mode, valid_count, t_loc, tile_elems, d
+    )
     _, _, exp_exact, recovery = pattern_device_args(pat)
     pairs_exact = tuple(
         (int(c), int(p))
         for c, p in zip(pat.chk_shift_cur, pat.chk_shift_prev)
     )
-
-    wc_run = None
     if mode == "xla":
         dev_in = jax.device_put(arr, NamedSharding(mesh, P(DATA_AXIS)))
-        valid2 = np.clip(valid_count - bases, 0, e_loc + tile_elems).astype(
-            np.int32
-        )[:, None]
-        expected_in = jnp.asarray(exp_sel)
     else:
-        from ..ops.scan_pallas import swar_dispatch_args
-
-        expected_in, _, static = swar_dispatch_args(
-            pat, t_loc, valid_count, tile_elems // LANES_
-        )
-        # the formulation the expected operand was packed for MUST be the
-        # one the kernel traces (static jit key — an env flip between
-        # calls must retrace, not reuse)
-        wc_run = static["wc_run"]
-        block_elems = static["tile_rows"] * LANES_  # elements per block
-        lim = valid_count - L
-        lim_loc = np.clip(
-            lim - bases, -block_elems, (t_loc + 1) * tile_elems
-        )
-        valid2 = np.stack(
-            [lim_loc // block_elems, lim_loc % block_elems], axis=1
-        ).astype(np.int32)
         packed = swar_host_view(arr).reshape(-1, LANES_ * width // 4)
         dev_in = jax.device_put(packed, NamedSharding(mesh, P(DATA_AXIS)))
 
@@ -416,6 +446,23 @@ def sharded_fused_step(
         exp_exact,
         recovery,
     )
+    return parse_sharded_combos(
+        counts_dev, combos_dev, d, t_loc, t_total, k_cap, p_cap,
+        tile_elems, grid_offset,
+    )
+
+
+def parse_sharded_combos(
+    counts_dev, combos_dev, d, t_loc, t_total, k_cap, p_cap, tile_elems,
+    grid_offset,
+):
+    """Decode the per-device fused result buffers (the step's single D2H
+    transaction) into global offsets/values — shared by the chunked and
+    resident mesh paths.  Returns ``(offsets, values, info,
+    overflow_counts)`` with the same contract as
+    :func:`sharded_fused_step`."""
+    from ..dense import FusedInfo
+
     combos = np.asarray(combos_dev)  # (D, 3 + 2k + 3p)
     n_hot = combos[:, 0]
     n_cand = combos[:, 2]

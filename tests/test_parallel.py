@@ -328,3 +328,178 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestShardedResidentCorpus:
+    """parallel/resident.py: the corpus uploads ONCE (NamedSharding over
+    the data axis); every grid view is derived on device; repeat searches
+    transfer zero corpus bytes; results match the host path on every mesh
+    size."""
+
+    def _make_file(self, tmp_path, rng, n=300_000):
+        data = rng.integers(0, 256, n).astype(np.uint8)
+        enc = np.array([ord(c) + 3 for c in "monkey"], dtype=np.uint8)
+        for pos in (0, n // 3, n // 2 + 1, n - 6):
+            data[pos : pos + 6] = enc
+        p = tmp_path / "corpus.bin"
+        p.write_bytes(data.tobytes())
+        return p, data
+
+    def test_grid_derivation_matches_host_decode(self, devices, rng):
+        from monkey_moore_tpu.config import Endianness
+        from monkey_moore_tpu.parallel.resident import ShardedResidentCorpus
+
+        mesh = make_mesh(devices, n=4)
+        nb = 3 * 4096 + 123
+        data = rng.integers(0, 256, nb).astype(np.uint8)
+        c = ShardedResidentCorpus(data, mesh, tile_elems=1024)
+        pad = np.zeros(c.uploaded_bytes + 8, dtype=np.uint8)
+        pad[:nb] = data
+        for s, big, a in [(1, False, 0), (2, False, 0), (2, False, 1),
+                          (2, True, 0), (2, True, 1)]:
+            endian = Endianness.BIG if big else Endianness.LITTLE
+            cnt = (c.uploaded_bytes - a) // s
+            raw = pad[a : a + cnt * s]
+            want = (
+                raw if s == 1
+                else raw.view(">u2" if big else "<u2").astype(np.uint16)
+            )
+            valid = (nb - a) // s
+            flat = np.asarray(c.grid(s, endian, a, packed=False))
+            assert np.array_equal(flat[:valid], want[:valid]), (s, big, a)
+            packed = np.asarray(c.grid(s, endian, a, packed=True))
+            pv = packed.reshape(-1).view("<u4").view(
+                np.uint8 if s == 1 else "<u2"
+            )
+            assert np.array_equal(
+                pv[:valid].astype(np.int64), want[:valid].astype(np.int64)
+            ), ("packed", s, big, a)
+
+    @pytest.mark.parametrize("n_dev", [1, 2, 8])
+    def test_mesh_results_and_zero_reupload(
+        self, devices, n_dev, tmp_path, rng
+    ):
+        from monkey_moore_tpu.config import SearchConfig
+        from monkey_moore_tpu.engine import SearchEngine
+        from monkey_moore_tpu.parallel import resident
+
+        resident.clear_sharded_corpus_cache()
+        p, _ = self._make_file(tmp_path, rng)
+        want = [
+            r.offset
+            for r in SearchEngine(
+                SearchConfig(file_path=p, keyword="monkey")
+            ).run()
+        ]
+        assert len(want) == 4
+        cfg = SearchConfig(
+            file_path=p, keyword="monkey", devices=devices[:n_dev]
+        )
+        e1 = SearchEngine(cfg)
+        assert [r.offset for r in e1.run()] == want
+        assert e1.last_stats.h2d_bytes > 0  # first search uploads once
+        assert e1.last_stats.device_dispatches == 1
+
+        # repeat search: the corpus and the per-pattern operands are
+        # resident — no corpus bytes cross host->device again
+        e2 = SearchEngine(cfg)
+        assert [r.offset for r in e2.run()] == want
+        assert e2.last_stats.h2d_bytes == 0
+        assert e2.last_stats.device_dispatches == 1
+
+        # a different keyword still reuses the resident corpus
+        e3 = SearchEngine(
+            SearchConfig(file_path=p, keyword="onkey", devices=devices[:n_dev])
+        )
+        e3.run()
+        assert e3.last_stats.h2d_bytes == 0
+
+    def test_wildcard_and_value_scan_on_mesh(self, devices, tmp_path, rng):
+        from monkey_moore_tpu.config import SearchConfig
+        from monkey_moore_tpu.engine import SearchEngine
+        from monkey_moore_tpu.parallel import resident
+
+        resident.clear_sharded_corpus_cache()
+        n = 120_000
+        data = rng.integers(0, 256, n).astype(np.uint8)
+        enc = np.array([ord(c) + 9 for c in "mon"], dtype=np.uint8)
+        data[777 : 777 + 3] = enc
+        data[60_000 : 60_003] = enc
+        vals = np.array([40, 30, 20, 10], dtype=np.uint8)
+        data[90_000:90_004] = vals
+        p = tmp_path / "wc.bin"
+        p.write_bytes(data.tobytes())
+        for kw_cfg in (
+            dict(keyword="m*n", wildcard="*"),
+            dict(is_relative_search=False,
+                 reference_values=[140, 130, 120, 110]),
+        ):
+            base = dict(file_path=p, **kw_cfg)
+            want = [
+                r.offset
+                for r in SearchEngine(SearchConfig(**base)).run()
+            ]
+            got = [
+                r.offset
+                for r in SearchEngine(
+                    SearchConfig(**base, devices=devices[:8])
+                ).run()
+            ]
+            assert got == want and len(want) >= 1
+
+    def test_overflow_falls_back_to_host_extraction(
+        self, devices, tmp_path
+    ):
+        """A byte ramp matches everywhere -> p_cap overflow on every
+        device -> counts fetch + host extraction, results still exact."""
+        from monkey_moore_tpu.config import MatchSemantics, SearchConfig
+        from monkey_moore_tpu.engine import SearchEngine
+        from monkey_moore_tpu.parallel import resident
+
+        resident.clear_sharded_corpus_cache()
+        n = 64 * 1024
+        data = (np.arange(n) & 0xFF).astype(np.uint8)
+        p = tmp_path / "ramp.bin"
+        p.write_bytes(data.tobytes())
+        base = dict(
+            file_path=p, keyword="abcde", semantics=MatchSemantics.ALL
+        )
+        want = [
+            r.offset
+            for r in SearchEngine(SearchConfig(**base)).run()
+        ]
+        e = SearchEngine(SearchConfig(**base, devices=devices[:4]))
+        got = [r.offset for r in e.run()]
+        assert got == want
+        assert e.last_stats.fused_fallbacks >= 1
+
+    def test_scaling_overhead_gate(self, devices, tmp_path, rng):
+        """Structure regression gate (absolute CPU scaling is
+        meaningless on virtual devices): per-search dispatch count and
+        H2D bytes must be FLAT in mesh size — the collective dispatch
+        per alignment grid does not multiply with devices, and the
+        resident corpus keeps repeat-search H2D at zero on every mesh."""
+        from monkey_moore_tpu.config import SearchConfig
+        from monkey_moore_tpu.engine import SearchEngine
+        from monkey_moore_tpu.parallel import resident
+
+        p, _ = self._make_file(tmp_path, rng, n=200_000)
+        per_mesh = {}
+        for n_dev in (1, 2, 4, 8):
+            resident.clear_sharded_corpus_cache()
+            cfg = SearchConfig(
+                file_path=p, keyword="monkey", devices=devices[:n_dev]
+            )
+            e1 = SearchEngine(cfg)
+            e1.run()
+            e2 = SearchEngine(cfg)
+            e2.run()
+            per_mesh[n_dev] = (
+                e1.last_stats.device_dispatches,
+                e2.last_stats.device_dispatches,
+                e2.last_stats.h2d_bytes,
+            )
+        first = per_mesh[1]
+        assert all(v == first for v in per_mesh.values()), per_mesh
+        assert first[0] == first[1] == 1  # one collective dispatch/search
+        assert first[2] == 0  # repeat searches: zero H2D
