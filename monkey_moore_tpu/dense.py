@@ -472,6 +472,33 @@ def fused_multi_eligible(
     return True
 
 
+def multi_pattern_tables(pair_sets, exp_list, active_list, width: int):
+    """Rectangular multi-pattern kernel operands from the canonical check
+    tables: ``(pair_sets_padded, expected (K, C) splatted i32 device array,
+    active (K, C) -1/0 device array)`` — padded with inactive ``(1, 0)``
+    checks so the static pair grid is rectangular.  Shared by the
+    single-chip batch step and the sharded multi step."""
+    import jax.numpy as jnp
+
+    K = len(pair_sets)
+    c_pad = max(len(e) for e in exp_list)
+    ones_pat = 0x01010101 if width == 1 else 0x00010001
+    exp_mat = np.zeros((K, c_pad), dtype=np.uint64)
+    act_mat = np.zeros((K, c_pad), dtype=np.int64)
+    pair_sets_padded = []
+    for k, (prs, e, a) in enumerate(zip(pair_sets, exp_list, active_list)):
+        exp_mat[k, : len(e)] = e.astype(np.uint64)
+        act_mat[k, : len(a)] = np.where(a, -1, 0)
+        pair_sets_padded.append(
+            tuple(prs) + tuple((1, 0) for _ in range(c_pad - len(prs)))
+        )
+    expected = jnp.asarray(
+        ((exp_mat * ones_pat) & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    )
+    active = jnp.asarray(act_mat.astype(np.int32))  # -1 live, 0 pad
+    return pair_sets_padded, expected, active
+
+
 def fused_count_extract_multi(
     pats: List[CompiledPattern],
     arr_device,
@@ -548,30 +575,10 @@ def fused_count_extract_multi(
         block_rows = rows_per_tile * fpb
         K = len(pats)
     else:
-        # rectangular (K, C) expected/active tables, padded with inactive
-        # slots
         K = len(pats)
-        c_pad = max(len(e) for e in exp_list)
-        ones_pat = 0x01010101 if width == 1 else 0x00010001
-        exp_mat = np.zeros((K, c_pad), dtype=np.uint64)
-        act_mat = np.zeros((K, c_pad), dtype=np.int64)
-        pair_sets_padded = []
-        for k, (prs, e, a) in enumerate(
-            zip(pair_sets, exp_list, active_list)
-        ):
-            exp_mat[k, : len(e)] = e.astype(np.uint64)
-            act_mat[k, : len(a)] = np.where(a, -1, 0)
-            # pad pairs to c_pad with inactive (1, 0) checks so the static
-            # pair grid is rectangular
-            pair_sets_padded.append(
-                tuple(prs) + tuple((1, 0) for _ in range(c_pad - len(prs)))
-            )
-        expected = jnp.asarray(
-            ((exp_mat * ones_pat) & 0xFFFFFFFF)
-            .astype(np.uint32)
-            .view(np.int32)
+        pair_sets_padded, expected, active = multi_pattern_tables(
+            pair_sets, exp_list, active_list, width
         )
-        active = jnp.asarray(act_mat.astype(np.int32))  # -1 live, 0 pad
 
         # shared dispatch-block geometry + per-pattern boundary encodings
         from .ops.scan_pallas import dispatch_grouping

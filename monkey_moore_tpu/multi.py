@@ -51,6 +51,7 @@ class MultiSearcher:
         preferred_preview_width: int = 50,
         semantics: MatchSemantics = MatchSemantics.GREEDY,
         resident_bytes_limit: int = 2 * 1024 * 1024 * 1024,
+        devices=None,
     ):
         self.file_path = Path(file_path)
         self.element_width = element_width
@@ -60,6 +61,11 @@ class MultiSearcher:
         self.preview_width = preferred_preview_width
         self.semantics = semantics
         self.resident_bytes_limit = resident_bytes_limit
+        #: optional JAX device list — the keyword batch scans a sharded
+        #: resident corpus across this mesh (one collective dispatch for
+        #: the whole batch where the SWAR multi kernel is eligible,
+        #: per-keyword collective dispatches otherwise)
+        self.devices = list(devices) if devices else None
 
     def _config(self, spec: Spec) -> SearchConfig:
         kw = {"keyword": spec} if isinstance(spec, str) else dict(spec)
@@ -99,6 +105,8 @@ class MultiSearcher:
                 )
                 for s in specs
             ]
+        if self.devices:
+            return self._search_mesh(specs, generate_previews)
 
         import jax.numpy as jnp
 
@@ -229,6 +237,100 @@ class MultiSearcher:
                         )
                     emit(pi, offs, vals)
 
+        return self._finalize_all(
+            specs, pats, per_group, candidate_info, data, file_size,
+            generate_previews,
+        )
+
+    # ------------------------------------------------------------------
+    def _search_mesh(
+        self, specs: Sequence[Spec], generate_previews: bool
+    ) -> List[List[SearchResult]]:
+        """Multi-keyword batch across a device mesh.
+
+        The corpus lives sharded + resident (``parallel/resident.py``);
+        where the SWAR multi kernel is eligible the WHOLE keyword batch
+        costs one collective dispatch per alignment grid
+        (``parallel.sharded.sharded_fused_multi_step``).  Otherwise each
+        keyword runs the engine's resident mesh path — still one
+        collective dispatch per keyword with zero corpus re-upload.
+        """
+        from .dense import fused_multi_eligible
+        from .ops.scan_host import decode_grid_host
+        from .parallel.mesh import make_mesh
+        from .parallel.resident import get_sharded_corpus
+        from .parallel.sharded import sharded_fused_multi_step
+
+        def per_keyword_fallback():
+            out = []
+            for sp in specs:
+                cfg = self._config(sp)
+                cfg.devices = self.devices
+                out.append(
+                    SearchEngine(cfg).run(
+                        generate_previews=generate_previews
+                    )
+                )
+            return out
+
+        pats = [self._compile(sp) for sp in specs]
+        if not self.file_path.exists():
+            raise FileNotFoundError("File not found")
+        file_size = self.file_path.stat().st_size
+        s = self.element_width
+        mesh = make_mesh(self.devices)
+        d = len(self.devices)
+        per_dev = -(-max(1, file_size) // d)
+        tile_m = min(TILE_ELEMS, max(64, 1 << (per_dev - 1).bit_length()))
+        corpus = get_sharded_corpus(
+            self.file_path, file_size, mesh, tile_m,
+            self.resident_bytes_limit,
+        )
+        if corpus is None or not fused_multi_eligible(
+            pats, corpus.tile_elems
+        ):
+            return per_keyword_fallback()
+
+        data = np.memmap(self.file_path, dtype=np.uint8, mode="r")
+        l_min = min(p.length for p in pats)
+        per_group = [dict() for _ in pats]
+        candidate_info = [dict() for _ in pats]
+        for a in range(s):
+            valid_count = max(0, (file_size - a) // s)
+            if valid_count < l_min:
+                continue
+            dev_in = corpus.grid(s, self.endianness, a, packed=True)
+            res = sharded_fused_multi_step(
+                pats, dev_in, mesh, valid_count, corpus.tile_elems,
+                corpus.t_loc(s),
+            )
+            if res is None:  # lost eligibility (e.g. backend changed)
+                return per_keyword_fallback()
+            for pi, (offs, vals, _info, over) in enumerate(res):
+                if over is not None:
+                    arr = decode_grid_host(
+                        data, file_size, s, self.endianness, a
+                    )
+                    offs, vals = extract_hot_tiles(
+                        pats[pi], arr, over, corpus.tile_elems
+                    )
+                for off, val in zip(offs.tolist(), vals.tolist()):
+                    byte_off = a + off * s
+                    block_id = byte_off // self.block_size
+                    per_group[pi].setdefault((block_id, a), []).append(off)
+                    candidate_info[pi][(a, off)] = (byte_off, val)
+        return self._finalize_all(
+            specs, pats, per_group, candidate_info, data, file_size,
+            generate_previews,
+        )
+
+    def _finalize_all(
+        self, specs, pats, per_group, candidate_info, data, file_size,
+        generate_previews,
+    ) -> List[List[SearchResult]]:
+        """Per-pattern finalize + sort + optional previews (shared by the
+        single-device and mesh batch paths)."""
+        s = self.element_width
         out: List[List[SearchResult]] = []
         for pi, pat in enumerate(pats):
             raw = finalize_candidates(

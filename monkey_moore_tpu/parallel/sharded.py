@@ -512,6 +512,172 @@ def parse_sharded_combos(
     )
 
 
+# ---------------------------------------------------------------------------
+# Fused MULTI-pattern mesh step: the multi-keyword batch kernel
+# (``scan_pallas._swar_multi_gather_call`` — one HBM pass counts every
+# pattern, then per-pattern on-device gather + exact phase 2) under
+# shard_map.  K keywords cost ONE collective dispatch per alignment grid;
+# the reference runs its whole engine once per keyword
+# (``src/core/search_engine.cpp:23``).
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_fused_multi_fn(
+    mesh, *, pair_sets, lengths, tile_elems, k_cap, p_cap, signeds,
+    pairs_exacts, width, interpret, t_loc,
+):
+    import jax
+
+    from ..ops.scan_pallas import (
+        _swar_multi_gather_call,
+        dispatch_grouping,
+        pallas_gather_mode,
+    )
+
+    n_dev = mesh.shape[DATA_AXIS]
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    rows_per_tile = tile_elems // LANES_
+    block_rows, fpb = dispatch_grouping(t_loc, rows_per_tile, width)
+    gather_kernel = "dma" if interpret else (pallas_gather_mode() or False)
+    K = len(pair_sets)
+
+    def local_step(
+        d2_local, valid3, vtvr3, expected, active, exp_exacts, recoveries
+    ):
+        halo = jax.lax.ppermute(d2_local[:rows_per_tile], DATA_AXIS, perm)
+        ext = jnp.concatenate([d2_local, halo], axis=0)
+        counts, combos = _swar_multi_gather_call(
+            ext, expected, active, valid3[0], vtvr3[0],
+            exp_exacts, recoveries,
+            pair_sets=pair_sets, tile_rows=block_rows, width=width,
+            interpret=interpret, fine_per_block=fpb, k_cap=k_cap,
+            rows_per_tile=rows_per_tile, tile_elems=tile_elems,
+            p_cap=p_cap, lengths=lengths, pairs_exacts=pairs_exacts,
+            signeds=signeds, gather_kernel=gather_kernel,
+        )
+        return jnp.stack(counts)[None], combos[None]
+
+    mapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P(),
+            tuple(P() for _ in range(K)), tuple(P() for _ in range(K)),
+        ),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_fused_multi_step(
+    pats,
+    dev_in,
+    mesh: Mesh,
+    valid_count: int,
+    tile_elems: int,
+    t_loc: int,
+    k_cap: int | None = None,
+    p_cap: int = 1024,
+    interpret: bool = False,
+    grid_offset: int = 0,
+):
+    """K patterns × one sharded corpus in ONE collective dispatch.
+
+    ``dev_in`` is the packed SWAR word grid already sharded across the
+    mesh (``parallel/resident.ShardedResidentCorpus.grid(packed=True)``),
+    ``t_loc`` its per-device count-tile count.  Returns a list of
+    ``(offsets, values, FusedInfo, overflow_counts)`` per pattern with
+    the same per-pattern contract as :func:`sharded_fused_step`, or
+    ``None`` when the batch is not SWAR-eligible (callers fall back to
+    per-pattern dispatches).
+    """
+    import jax
+    from jax.sharding import NamedSharding
+
+    from ..dense import (
+        auto_k_cap,
+        fused_multi_eligible,
+        multi_pattern_tables,
+    )
+    from ..ops.scan_jnp import canonical_check_tables, pattern_device_args
+    from ..ops.scan_pallas import dispatch_grouping
+
+    if not fused_multi_eligible(pats, tile_elems, interpret):
+        return None
+    width = np.dtype(pats[0].dtype).itemsize
+    d = mesh.shape[DATA_AXIS]
+    pair_sets, exp_list, active_list = canonical_check_tables(pats)
+    pair_sets_padded, expected, active = multi_pattern_tables(
+        pair_sets, exp_list, active_list, width
+    )
+    if k_cap is None:
+        k_cap = max(
+            auto_k_cap(pat, valid_count, tile_elems,
+                       int(np.count_nonzero(act)))
+            for pat, act in zip(pats, active_list)
+        )
+
+    rows_per_tile = tile_elems // LANES_
+    block_rows, _ = dispatch_grouping(t_loc, rows_per_tile, width)
+    block_elems = block_rows * LANES_
+    e_loc = t_loc * tile_elems
+    bases = np.arange(d, dtype=np.int64) * e_loc
+    K = len(pats)
+    # per-device per-pattern boundary encodings: valid3/vtvr3 [D, K, 2]
+    valid3 = np.zeros((d, K, 2), dtype=np.int32)
+    vtvr3 = np.zeros((d, K, 2), dtype=np.int32)
+    for ki, pat in enumerate(pats):
+        lim_loc = np.clip(
+            (valid_count - pat.length) - bases,
+            -block_elems, (t_loc + 1) * tile_elems,
+        )
+        valid3[:, ki, 0] = lim_loc // block_elems
+        valid3[:, ki, 1] = lim_loc % block_elems
+        vl = np.clip(valid_count - bases, 0, e_loc + tile_elems)
+        vtvr3[:, ki, 0] = vl // tile_elems
+        vtvr3[:, ki, 1] = vl % tile_elems
+
+    exp_exacts, recoveries, pairs_exacts = [], [], []
+    for p in pats:
+        _, _, ee, rec = pattern_device_args(p)
+        exp_exacts.append(ee)
+        recoveries.append(rec)
+        pairs_exacts.append(
+            tuple(
+                (int(c), int(pp))
+                for c, pp in zip(p.chk_shift_cur, p.chk_shift_prev)
+            )
+        )
+
+    fn = _sharded_fused_multi_fn(
+        mesh, pair_sets=tuple(pair_sets_padded),
+        lengths=tuple(p.length for p in pats), tile_elems=tile_elems,
+        k_cap=k_cap, p_cap=p_cap,
+        signeds=tuple(p.signed_compare for p in pats),
+        pairs_exacts=tuple(pairs_exacts), width=width,
+        interpret=interpret, t_loc=t_loc,
+    )
+    rows = NamedSharding(mesh, P(DATA_AXIS))
+    counts_dev, combos_dev = fn(
+        dev_in,
+        jax.device_put(valid3, rows),
+        jax.device_put(vtvr3, rows),
+        expected, active, tuple(exp_exacts), tuple(recoveries),
+    )
+    # combos_dev: [D, K * combo_len] (per-device concat of K buffers)
+    combos = np.asarray(combos_dev).reshape(d, K, -1)
+    t_total = max(1, -(-valid_count // tile_elems))
+    out = []
+    for ki in range(K):
+        res = parse_sharded_combos(
+            counts_dev[:, ki], combos[:, ki, :], d, t_loc, t_total,
+            k_cap, p_cap, tile_elems, grid_offset,
+        )
+        out.append(res)
+    return out
+
+
 def sharded_candidates(
     pat: CompiledPattern,
     data: np.ndarray,
