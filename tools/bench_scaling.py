@@ -47,8 +47,11 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from monkey_moore_tpu.parallel import make_mesh, sharded_candidates
-    from monkey_moore_tpu.pattern import compile_pattern
+    import tempfile
+
+    from monkey_moore_tpu.config import SearchConfig
+    from monkey_moore_tpu.engine import SearchEngine
+    from monkey_moore_tpu.parallel import resident
 
     all_devices = jax.devices()
     sizes = args.devices or sorted(
@@ -59,30 +62,58 @@ def main():
     n = args.mb * 1024 * 1024
     rng = np.random.default_rng(42)
     data = rng.integers(0, 256, n, dtype=np.uint8)
-    pat = compile_pattern("abcde")
+    path = Path(tempfile.mkdtemp()) / "scaling.bin"
+    data.tofile(path)
 
+    # The PRODUCTION multi-chip path: SearchEngine over the sharded
+    # resident corpus — one collective dispatch per search, corpus
+    # uploaded once per mesh.  Structural gates (dispatch count and H2D
+    # flat in mesh size) are CI-enforced in tests/test_parallel.py; this
+    # harness records the throughput curve.
     report = {}
     base_rate = None
     for d in sizes:
-        mesh = make_mesh(all_devices, n=d)
-        sharded_candidates(pat, data, mesh)  # compile + warm
+        resident.clear_sharded_corpus_cache()
+        cfg = SearchConfig(
+            file_path=path,
+            keyword="abcde",
+            devices=all_devices[:d],
+            host_latency_threshold_bytes=0,  # measure the mesh, not host
+        )
+        eng = SearchEngine(cfg)
+        eng.run()  # compile + upload + warm
         best = float("inf")
+        stats = None
         for _ in range(args.iters):
+            e = SearchEngine(cfg)
             t0 = time.perf_counter()
-            sharded_candidates(pat, data, mesh)
+            e.run()
             best = min(best, time.perf_counter() - t0)
+            stats = e.last_stats
         rate = n / best
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * d)
-        report[d] = {"bytes_per_s": rate, "efficiency_vs_linear": eff}
+        report[d] = {
+            "bytes_per_s": rate,
+            "efficiency_vs_linear": eff,
+            "device_dispatches": stats.device_dispatches,
+            "h2d_bytes_repeat": stats.h2d_bytes,
+        }
         print(f"{d} device(s): {rate / 1e9:6.2f} GB/s  "
-              f"efficiency vs linear: {eff * 100:5.1f}%", flush=True)
+              f"efficiency vs linear: {eff * 100:5.1f}%  "
+              f"(dispatches={stats.device_dispatches}, "
+              f"repeat h2d={stats.h2d_bytes})", flush=True)
 
     out = REPO / "BENCH_SCALING.json"
     out.write_text(json.dumps({
         "data_mb": args.mb,
         "backend": jax.default_backend(),
+        "note": (
+            "virtual CPU devices share one physical CPU: bytes/s is NOT a "
+            "hardware scaling measurement there; the structure columns "
+            "(flat dispatches, zero repeat H2D) are the meaningful part"
+        ),
         "mesh_sizes": report,
     }, indent=2))
     print(f"written: {out}")
