@@ -723,6 +723,15 @@ class SearchEngine:
         over each alignment grid and feed the identical per-(block,
         alignment) finalize as the device path.  Slice structure mirrors
         ``_scan_dense``'s chunk loop so progress/abort behave identically.
+
+        Multi-MB files scan slices over a ≤``preferred_num_threads`` pool
+        (default: hardware concurrency — the reference engine's own
+        default, ``search_engine.hpp:35``); the C scanner releases the
+        GIL, so per-core memory bandwidth adds up (measured 3.3 → 6.4 GB/s
+        at 2 threads on the dev host).  Progress stays one callback per
+        logical block (equal float increments commute across completion
+        order) and the final candidate set is order-independent
+        (``finalize_candidates`` sorts per group).
         """
         from .ops.scan_host import decode_grid_host, host_candidates_values
 
@@ -734,9 +743,21 @@ class SearchEngine:
 
         per_group: dict = {}
         candidate_info: dict = {}
+        n_threads = cfg.preferred_num_threads or (os.cpu_count() or 1)
+        # pool threshold measured on the dev host: below ~24 MiB the
+        # submit/harvest overhead eats the bandwidth win (8 MiB: 3.97 GB/s
+        # sequential vs 3.27 pooled; 32 MiB: 3.9 vs 5.1)
+        use_pool = n_threads > 1 and file_size >= 24 * 1024 * 1024
         # responsive abort/progress on multi-MB files without hurting the
-        # scanner's throughput (slices are >> its internal block)
-        slice_elems = max(L, (8 * 1024 * 1024) // s)
+        # scanner's throughput (slices are >> its internal block); with a
+        # pool, enough slices that every worker stays busy
+        slice_bytes = 8 * 1024 * 1024
+        if use_pool:
+            slice_bytes = min(
+                slice_bytes,
+                max(4 * 1024 * 1024, file_size // (2 * n_threads)),
+            )
+        slice_elems = max(L, slice_bytes // s)
         grids = []
         for a in range(s):
             if self._element_grid(file_size, a) >= L:
@@ -751,6 +772,81 @@ class SearchEngine:
         )
         n_slices = max(1, -(-max_grid // slice_elems))
         tracker = _BlockProgress(len(blocks), base, progress, aborted)
+
+        def record(e0, a, offs, vals):
+            # slices own starts within [0, slice_elems)
+            keep = offs < slice_elems
+            offs, vals = offs[keep], vals[keep]
+            timer.stats.candidates += len(offs)
+            for off, val in zip(offs.tolist(), vals.tolist()):
+                e_global = e0 + off
+                byte_off = a + e_global * s
+                block_id = byte_off // base
+                per_group.setdefault((block_id, a), []).append(e_global)
+                candidate_info[(a, e_global)] = (byte_off, val)
+
+        if use_pool:
+            import concurrent.futures
+            import time as _time
+
+            jobs = []
+            for k in range(n_slices):
+                e0 = k * slice_elems
+                for a, arr in grids:
+                    if e0 >= len(arr):
+                        continue
+                    count_here = min(slice_elems + L - 1, len(arr) - e0)
+                    if count_here < L:
+                        continue
+                    jobs.append((k, e0, a, arr, count_here))
+            slice_jobs: dict = {}
+            for k, *_ in jobs:
+                slice_jobs[k] = slice_jobs.get(k, 0) + 1
+            done_slices = 0
+            t0 = _time.perf_counter()
+            with concurrent.futures.ThreadPoolExecutor(
+                max_workers=n_threads
+            ) as pool:
+                futs = {
+                    pool.submit(
+                        host_candidates_values, pat,
+                        arr[e0 : e0 + count_here],
+                    ): (k, e0, a, count_here)
+                    for k, e0, a, arr, count_here in jobs
+                }
+                try:
+                    for fut in concurrent.futures.as_completed(futs):
+                        k, e0, a, count_here = futs[fut]
+                        offs, vals = fut.result()
+                        timer.stats.bytes_scanned += count_here * s
+                        record(e0, a, offs, vals)
+                        slice_jobs[k] -= 1
+                        if slice_jobs[k] == 0:
+                            done_slices += 1
+                            # equal per-block increments commute, so
+                            # advancing by COMPLETED slice count emits the
+                            # exact sequential callback sequence
+                            if not tracker.advance_to(
+                                min(file_size,
+                                    done_slices * slice_elems * s),
+                                final=(done_slices == n_slices),
+                            ):
+                                return None
+                finally:
+                    for fut in futs:
+                        fut.cancel()
+            timer.stats.stage_seconds["host_scan"] = (
+                timer.stats.stage_seconds.get("host_scan", 0.0)
+                + _time.perf_counter()
+                - t0
+            )
+            if not tracker.finish():
+                return None
+            return finalize_candidates(
+                pat, cfg.semantics, s, base, file_size, per_group,
+                candidate_info,
+            )
+
         for k in range(n_slices):
             if aborted():
                 return None
