@@ -70,6 +70,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="print per-stage timing statistics")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (no TPU)")
+    p.add_argument("--threads", type=int, default=0,
+                   help="host worker threads for the REFERENCE walk and "
+                        "the host latency path (0 = hardware concurrency)")
+    p.add_argument("--host-threshold", type=int,
+                   default=64 * 1024 * 1024,
+                   help="files at or below this size scan on the host "
+                        "(zero dispatch latency); 0 forces the device path")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="in-flight fused device dispatches (chunked scans)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -155,6 +164,11 @@ def _make_config(args, keyword="", seq="", values=()) -> SearchConfig:
         preferred_preview_width=args.preview_width,
         device_chunk_bytes=args.chunk_bytes,
         semantics=MatchSemantics(args.semantics),
+        preferred_num_threads=getattr(args, "threads", 0),
+        host_latency_threshold_bytes=getattr(
+            args, "host_threshold", 64 * 1024 * 1024
+        ),
+        pipeline_depth=getattr(args, "pipeline_depth", 2),
     )
 
 
