@@ -55,7 +55,8 @@ commands:
                           edit the byte⇔char grid before saving
   set OPT VALUE           width 8|16, endian little|big, semantics
                           greedy|all|reference, wildcard CHAR, seq NAME|CHARS,
-                          previews on|off, dedup on|off, offsets hex|dec
+                          previews on|off, dedup on|off, offsets hex|dec,
+                          threads N (0 = auto)
   show                    current settings
   seq list | seq show N   named character sequences
   stats                   per-stage timings of the last search
@@ -84,6 +85,7 @@ class Repl:
         self.dedup = False
         self.offsets = "hex"
         self.preview_width = 50
+        self.threads = 0  # 0 = hardware concurrency
         self.block_size = 524288
         self.chunk_bytes = 64 * 1024 * 1024
         self.last_results: List[SearchResult] = []
@@ -109,6 +111,7 @@ class Repl:
             device_chunk_bytes=self.chunk_bytes,
             preferred_preview_width=self.preview_width,
             semantics=self.semantics,
+            preferred_num_threads=self.threads,
         )
 
     def _multi_searcher(self):
@@ -393,6 +396,12 @@ class Repl:
                 self._say("offsets must be hex or dec")
                 return
             self.offsets = val
+        elif opt == "threads":
+            try:
+                self.threads = max(0, int(val))
+            except ValueError:
+                self._say("threads must be an integer (0 = auto)")
+                return
         else:
             self._say(f"unknown option: {opt}")
             return
