@@ -56,7 +56,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="match semantics (see MatchSemantics docs)")
     p.add_argument("--block-size", type=int, default=524288,
                    help="logical search block size in bytes")
-    p.add_argument("--chunk-bytes", type=int, default=64 * 1024 * 1024,
+    p.add_argument("--chunk-bytes", type=int, default=512 * 1024 * 1024,
                    help="device chunk size in bytes")
     p.add_argument("--previews", action="store_true",
                    help="generate decoded context previews")

@@ -123,8 +123,11 @@ class SearchConfig:
 
     # ---- TPU-native knobs ---------------------------------------------
     #: Bytes of file data scanned per device dispatch (static shape; the tail
-    #: chunk is padded and masked).
-    device_chunk_bytes: int = 64 * 1024 * 1024
+    #: chunk is padded and masked; clamped by the file size).  Large default:
+    #: on a latency-dominated link every dispatch costs a fixed round trip,
+    #: so big files want few big chunks (a 1 GiB resident search is 2
+    #: dispatches instead of 16).
+    device_chunk_bytes: int = 512 * 1024 * 1024
     #: Fixed per-chunk match-buffer capacity (SPMD-friendly compaction).  If a
     #: chunk overflows, the engine retries that chunk with a larger buffer.
     max_matches_per_chunk: int = 65536

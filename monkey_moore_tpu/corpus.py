@@ -8,16 +8,25 @@ sustains an order of magnitude more, so residency dominates interactive
 latency.  (The reference re-reads the file from disk per search,
 ``src/core/search_engine.cpp:120-127``.)
 
+Storage layout: the file's bytes live as a FLAT little-endian i32 word
+array, and every element grid the engine needs (8/16-bit, either
+endianness, either byte alignment, packed SWAR words or flat elements) is
+derived from it with pure word arithmetic — shifts for the byte-unaligned
+grids, masked rotates for the 16-bit byteswap.  The word layout matters on
+TPU: a byte-gather formulation (``reshape(-1, 4)``) materializes an
+``[N, 4]``-shaped intermediate whose (8, 128) tile padding inflates memory
+~32× (observed: a 256 MiB chunk's grid derivation tried to allocate 34 GB
+and OOM'd the 16 GiB chip).  Word ops keep every intermediate 1-D.
+
 A process-wide cache holds the most recent corpus, keyed by
-(path, size, mtime); 16-bit element grids for either endianness/alignment
-are derived on device per chunk from the resident byte array.
+(path, size, mtime).
 """
 
 from __future__ import annotations
 
 import functools
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
@@ -29,17 +38,29 @@ _cache: dict = {}
 
 
 class ResidentCorpus:
-    """Device-resident padded byte array for one file."""
+    """Device-resident corpus for one file, stored as flat LE i32 words."""
 
     def __init__(self, data_bytes: np.ndarray, pad_bytes: int):
         import jax
         import jax.numpy as jnp
 
         self.n_bytes = len(data_bytes)
-        padded = np.zeros(self.n_bytes + pad_bytes, dtype=np.uint8)
+        # pad to whole words + one spare word (the byte-shift borrows from
+        # the next word)
+        total = -(-(self.n_bytes + pad_bytes + 4) // 4) * 4
+        padded = np.zeros(total, dtype=np.uint8)
         padded[: self.n_bytes] = data_bytes
-        self.device_bytes = jax.device_put(jnp.asarray(padded))
-        jax.block_until_ready(self.device_bytes)
+        words = padded.view("<u4").view(np.int32)  # zero-copy host view
+        self.device_words = jax.device_put(jnp.asarray(words))
+        jax.block_until_ready(self.device_words)
+
+    # kept for callers/tests that size against the device buffer
+    @property
+    def device_bytes(self):
+        return self.device_words
+
+    def __len__(self):
+        return self.device_words.size * 4
 
     def grid_chunk(
         self,
@@ -58,9 +79,11 @@ class ResidentCorpus:
         ``packed=True`` emits the SWAR kernel's little-endian int32 word
         layout instead (4 bytes / 2 elements per word), fused into the same
         device pass — no extra packing sweep before the scan."""
+        b0 = align + e_start * element_width
         return _grid_fn()(
-            self.device_bytes,
-            align + e_start * element_width,
+            self.device_words,
+            b0 // 4,
+            byte_shift=b0 % 4,
             s=element_width,
             big=endianness is Endianness.BIG,
             want=want_elems,
@@ -74,26 +97,39 @@ def _grid_fn():
     import jax.numpy as jnp
 
     @functools.partial(
-        jax.jit, static_argnames=("s", "big", "want", "packed")
+        jax.jit, static_argnames=("byte_shift", "s", "big", "want", "packed")
     )
-    def grid_on_device(device_bytes, byte_start, *, s, big, want, packed):
-        raw = jax.lax.dynamic_slice(device_bytes, (byte_start,), (want * s,))
+    def grid_on_device(words, word_start, *, byte_shift, s, big, want,
+                       packed):
+        n_words = -(-(want * s) // 4)
+        raw = jax.lax.dynamic_slice(words, (word_start,), (n_words + 1,))
+        w = jax.lax.bitcast_convert_type(raw, jnp.uint32)
+        if byte_shift:
+            # shift the byte stream down: each word takes its own top bytes
+            # and the next word's low bytes (pure word ops — no [N, 4]
+            # byte-gather intermediate, whose TPU tile padding is ~32x)
+            k = jnp.uint32(8 * byte_shift)
+            w = (w[:-1] >> k) | (w[1:] << (jnp.uint32(32) - k))
+        else:
+            w = w[:-1]
+        if s == 2 and big:
+            # byte swap within each 16-bit element
+            w = ((w >> jnp.uint32(8)) & jnp.uint32(0x00FF00FF)) | (
+                (w << jnp.uint32(8)) & jnp.uint32(0xFF00FF00)
+            )
         if packed:
-            # little-endian i32 words of the element stream (SWAR layout);
-            # for big-endian 16-bit grids the element bytes swap in place
-            order = (1, 0, 3, 2) if (s == 2 and big) else (0, 1, 2, 3)
-            parts = raw.reshape(-1, 4).astype(jnp.uint32)
-            word = parts[:, order[0]]
-            for j in (1, 2, 3):
-                word = word | (parts[:, order[j]] << jnp.uint32(8 * j))
-            return jax.lax.bitcast_convert_type(word, jnp.int32)
+            return jax.lax.bitcast_convert_type(w, jnp.int32)
         if s == 1:
-            return raw
-        lo = raw[0::2].astype(jnp.uint16)
-        hi = raw[1::2].astype(jnp.uint16)
-        if big:
-            return (lo << 8) | hi
-        return lo | (hi << 8)
+            out = jnp.stack(
+                [(w >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)
+                 for j in range(4)],
+                axis=1,
+            ).reshape(-1)
+            return out[:want].astype(jnp.uint8)
+        lo = w & jnp.uint32(0xFFFF)
+        hi = w >> jnp.uint32(16)
+        out = jnp.stack([lo, hi], axis=1).reshape(-1)
+        return out[:want].astype(jnp.uint16)
 
     return grid_on_device
 
@@ -112,7 +148,7 @@ def get_resident_corpus(
         return None
     key = (str(p.resolve()), stat.st_size, stat.st_mtime_ns)
     hit = _cache.get(key)
-    if hit is not None and len(hit.device_bytes) >= file_size + pad_bytes:
+    if hit is not None and len(hit) >= file_size + pad_bytes:
         return hit
     try:
         data = np.fromfile(p, dtype=np.uint8)

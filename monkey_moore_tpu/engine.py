@@ -331,7 +331,11 @@ class SearchEngine:
 
         # Chunk span is a whole number of count tiles; each chunk array adds
         # one halo/padding tile so cross-chunk windows read real data.
-        desired = max(L, cfg.device_chunk_bytes // s)
+        # Clamped by the file size so small forced-device searches don't
+        # allocate (and pad the resident corpus by) a full chunk.
+        desired = max(
+            L, min(cfg.device_chunk_bytes, max(file_size, 1)) // s
+        )
         tile_elems = min(TILE_ELEMS, 1 << (desired - 1).bit_length())
         tiles_per_chunk = max(1, desired // tile_elems)
         chunk_elems = tiles_per_chunk * tile_elems

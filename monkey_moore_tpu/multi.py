@@ -47,7 +47,7 @@ class MultiSearcher:
         element_width: int = 1,
         endianness: Endianness = Endianness.LITTLE,
         preferred_search_block_size: int = 524288,
-        device_chunk_bytes: int = 64 * 1024 * 1024,
+        device_chunk_bytes: int = 512 * 1024 * 1024,
         preferred_preview_width: int = 50,
         semantics: MatchSemantics = MatchSemantics.GREEDY,
         resident_bytes_limit: int = 2 * 1024 * 1024 * 1024,
@@ -120,7 +120,9 @@ class MultiSearcher:
         s = self.element_width
         l_max = max(p.length for p in pats)
 
-        desired = max(l_max, self.chunk_bytes // s)
+        desired = max(
+            l_max, min(self.chunk_bytes, max(file_size, 1)) // s
+        )
         tile_elems = min(TILE_ELEMS, 1 << (desired - 1).bit_length())
         tiles_per_chunk = max(1, desired // tile_elems)
         chunk_elems = tiles_per_chunk * tile_elems

@@ -61,7 +61,8 @@ class ShardedResidentCorpus:
         # whole number of units makes every grid's per-device element count
         # a whole number of count tiles (u8: 2 tiles/unit, u16: 1).
         unit = 2 * tile_elems
-        u_loc = max(1, -(-(-(-self.n_bytes // unit)) // d))
+        units_total = max(1, -(-self.n_bytes // unit))  # ceil(bytes/unit)
+        u_loc = -(-units_total // d)  # ceil(units/devices)
         self.bytes_per_device = u_loc * unit
         total = d * self.bytes_per_device
         padded = np.zeros(total, dtype=np.uint8)
