@@ -583,7 +583,9 @@ def fused_count_extract_multi(
         # shared dispatch-block geometry + per-pattern boundary encodings
         from .ops.scan_pallas import dispatch_grouping
 
-        block_rows, fpb = dispatch_grouping(num_tiles, rows_per_tile, width)
+        block_rows, fpb = dispatch_grouping(
+            num_tiles, rows_per_tile, width, n_patterns=K
+        )
         block_elems = block_rows * LANES
         valid = jnp.asarray(np.stack(
             [

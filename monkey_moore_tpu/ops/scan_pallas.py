@@ -991,18 +991,26 @@ def dispatch_group_cap(tile_rows: int, width: int) -> int:
 
 
 def dispatch_grouping(
-    num_fine_tiles: int, tile_rows: int, width: int
+    num_fine_tiles: int, tile_rows: int, width: int, n_patterns: int = 1
 ) -> Tuple[int, int]:
     """The power-of-two dispatch-block grouping: ``(block_rows,
     fine_per_block)`` with ``block_rows = tile_rows * fine_per_block``,
     grown while the fine-tile count stays divisible, capped at 1024 fine
     tiles and the 2 MiB VMEM dispatch-block budget.
 
+    ``n_patterns``: the MULTI kernel materializes per-pattern count
+    blocks + accumulators in scoped VMEM on top of the shared diff
+    arrays, so its block budget scales down with the batch size (K=3 at
+    the single-pattern grouping needed 21.45 MiB of the 16 MiB scoped
+    limit — Mosaic refuses the lowering).
+
     THE single source of truth — the kernel's boundary masking derives its
     vt/vr encoding from ``block_rows`` (``swar_dispatch_args``), so every
     site that lowers the kernel must use this exact grouping."""
     block_rows, fine_per_block = tile_rows, 1
-    max_block_rows = (2 * 1024 * 1024) // (LANES * width)
+    max_block_rows = (2 * 1024 * 1024) // max(1, n_patterns) // (
+        LANES * width
+    )
     while (
         fine_per_block * 2 <= 1024
         and block_rows * 2 <= max_block_rows

@@ -537,9 +537,11 @@ def _sharded_fused_multi_fn(
     n_dev = mesh.shape[DATA_AXIS]
     perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
     rows_per_tile = tile_elems // LANES_
-    block_rows, fpb = dispatch_grouping(t_loc, rows_per_tile, width)
-    gather_kernel = "dma" if interpret else (pallas_gather_mode() or False)
     K = len(pair_sets)
+    block_rows, fpb = dispatch_grouping(
+        t_loc, rows_per_tile, width, n_patterns=K
+    )
+    gather_kernel = "dma" if interpret else (pallas_gather_mode() or False)
 
     def local_step(
         d2_local, valid3, vtvr3, expected, active, exp_exacts, recoveries
@@ -618,12 +620,14 @@ def sharded_fused_multi_step(
             for pat, act in zip(pats, active_list)
         )
 
+    K = len(pats)
     rows_per_tile = tile_elems // LANES_
-    block_rows, _ = dispatch_grouping(t_loc, rows_per_tile, width)
+    block_rows, _ = dispatch_grouping(
+        t_loc, rows_per_tile, width, n_patterns=K
+    )
     block_elems = block_rows * LANES_
     e_loc = t_loc * tile_elems
     bases = np.arange(d, dtype=np.int64) * e_loc
-    K = len(pats)
     # per-device per-pattern boundary encodings: valid3/vtvr3 [D, K, 2]
     valid3 = np.zeros((d, K, 2), dtype=np.int32)
     vtvr3 = np.zeros((d, K, 2), dtype=np.int32)
