@@ -219,6 +219,12 @@ def main():
                     preferred_search_block_size=block,
                     device_chunk_bytes=chunk,
                     semantics=semantics,
+                    # fuzz BOTH engine routes: even trials take the host
+                    # latency path (the default for these file sizes), odd
+                    # trials force the chunked device scan
+                    host_latency_threshold_bytes=(
+                        1 << 40 if t % 2 == 0 else 0
+                    ),
                 )
 
             # expected: oracle per logical block per alignment (exact
