@@ -26,7 +26,6 @@ from pathlib import Path
 
 from .config import Endianness, MatchSemantics, SearchConfig, SearchStep
 from .engine import SearchEngine
-from .prefs import Prefs
 from .sequences import SequenceStore
 from .tables import build_table_data, save_tbl
 from .i18n import _
@@ -146,6 +145,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("file", nargs="?", help="file to open on startup")
     r.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (no TPU)")
+    r.add_argument("--prefs", default=None,
+                   help="preference file (default: the user config dir, "
+                        "override with MMTPU_PREFS); loaded on start, "
+                        "saved on exit")
 
     return ap
 
@@ -363,7 +366,7 @@ def main(argv=None) -> int:
     if args.command == "repl":
         from .repl import repl_main
 
-        return repl_main(args.file, cpu=args.cpu)
+        return repl_main(args.file, cpu=args.cpu, prefs=args.prefs)
 
     return 2
 

@@ -353,13 +353,23 @@ class SearchEngine:
             # dispatch per alignment — repeat searches transfer zero corpus
             # bytes (the round-3 path host-decoded + re-uploaded every
             # chunk).  Multi-host (own_bytes) keeps the chunked path.
-            if own_bytes is None and file_size:
+            if own_bytes is None and file_size and pat.length <= TILE_ELEMS:
                 from .parallel.resident import get_sharded_corpus
 
                 d = len(list(cfg.devices))
                 per_dev = -(-file_size // d)
+                # the fused body's gathered slot spans tile + ONE halo tile
+                # and the scan's ppermute halo is one tile, so tile_elems
+                # must cover the window: tile_elems >= pattern length
+                # (otherwise shard/tile-boundary windows read shifted data
+                # — wrong matches, found by review repro)
                 tile_m = min(
-                    TILE_ELEMS, max(64, 1 << (per_dev - 1).bit_length())
+                    TILE_ELEMS,
+                    max(
+                        64,
+                        1 << (per_dev - 1).bit_length(),
+                        1 << (pat.length - 1).bit_length(),
+                    ),
                 )
                 with timer.stage("corpus_upload"):
                     corpus = get_sharded_corpus(
@@ -867,16 +877,7 @@ class SearchEngine:
                         pat, arr[e0 : e0 + count_here]
                     )
                 timer.stats.bytes_scanned += count_here * s
-                # slices own starts within [0, slice_elems)
-                keep = offs < slice_elems
-                offs, vals = offs[keep], vals[keep]
-                timer.stats.candidates += len(offs)
-                for off, val in zip(offs.tolist(), vals.tolist()):
-                    e_global = e0 + off
-                    byte_off = a + e_global * s
-                    block_id = byte_off // base
-                    per_group.setdefault((block_id, a), []).append(e_global)
-                    candidate_info[(a, e_global)] = (byte_off, val)
+                record(e0, a, offs, vals)
             bytes_done = min(file_size, (e0 + slice_elems) * s)
             if not tracker.advance_to(bytes_done, final=(k == n_slices - 1)):
                 return None
@@ -974,31 +975,36 @@ class SearchEngine:
                 if not tracker.step():
                     return None
         else:
-            # ≤ n_threads blocks in flight, harvested in completion order
-            # like the engine thread's future loop (``:83-102``); abort
-            # stops submitting and abandons unharvested futures
-            with concurrent.futures.ThreadPoolExecutor(
-                max_workers=n_threads
-            ) as pool:
-                futures = {
-                    pool.submit(walk_block, off, sz): (off, sz)
-                    for off, sz in own
-                }
-                try:
-                    for fut in concurrent.futures.as_completed(futures):
-                        block_results, walked_bytes = fut.result()
-                        consume(block_results)
-                        timer.stats.bytes_scanned += walked_bytes
-                        if not tracker.step():
-                            return None
-                finally:
-                    for fut in futures:
-                        fut.cancel()
-            timer.stats.stage_seconds["reference_walk"] = (
-                timer.stats.stage_seconds.get("reference_walk", 0.0)
-                + _time.perf_counter()
-                - t_walk0
-            )
+            # ≤ n_threads workers over the block queue, harvested in
+            # completion order like the engine thread's future loop
+            # (``:83-102``).  On abort, queued blocks are cancelled and
+            # only the ≤ n_threads walks already running are awaited —
+            # the reference likewise joins in-flight workers before
+            # returning (``search_engine.cpp:177-187``).
+            try:
+                with concurrent.futures.ThreadPoolExecutor(
+                    max_workers=n_threads
+                ) as pool:
+                    futures = {
+                        pool.submit(walk_block, off, sz): (off, sz)
+                        for off, sz in own
+                    }
+                    try:
+                        for fut in concurrent.futures.as_completed(futures):
+                            block_results, walked_bytes = fut.result()
+                            consume(block_results)
+                            timer.stats.bytes_scanned += walked_bytes
+                            if not tracker.step():
+                                return None
+                    finally:
+                        for fut in futures:
+                            fut.cancel()
+            finally:
+                timer.stats.stage_seconds["reference_walk"] = (
+                    timer.stats.stage_seconds.get("reference_walk", 0.0)
+                    + _time.perf_counter()
+                    - t_walk0
+                )
         for _ in range(skipped):
             if not tracker.step():
                 return None

@@ -283,7 +283,19 @@ class MultiSearcher:
         mesh = make_mesh(self.devices)
         d = len(self.devices)
         per_dev = -(-max(1, file_size) // d)
-        tile_m = min(TILE_ELEMS, max(64, 1 << (per_dev - 1).bit_length()))
+        l_max = max(p.length for p in pats)
+        if l_max > TILE_ELEMS:
+            return per_keyword_fallback()
+        # tile must cover the longest window (see engine's mesh-resident
+        # tile sizing): shard/tile halos are exactly one tile
+        tile_m = min(
+            TILE_ELEMS,
+            max(
+                64,
+                1 << (per_dev - 1).bit_length(),
+                1 << (l_max - 1).bit_length(),
+            ),
+        )
         corpus = get_sharded_corpus(
             self.file_path, file_size, mesh, tile_m,
             self.resident_bytes_limit,
@@ -308,11 +320,13 @@ class MultiSearcher:
             )
             if res is None:  # lost eligibility (e.g. backend changed)
                 return per_keyword_fallback()
+            arr = None  # decoded once per alignment, only if any overflow
             for pi, (offs, vals, _info, over) in enumerate(res):
                 if over is not None:
-                    arr = decode_grid_host(
-                        data, file_size, s, self.endianness, a
-                    )
+                    if arr is None:
+                        arr = decode_grid_host(
+                            data, file_size, s, self.endianness, a
+                        )
                     offs, vals = extract_hot_tiles(
                         pats[pi], arr, over, corpus.tile_elems
                     )

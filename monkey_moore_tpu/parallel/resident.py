@@ -119,13 +119,17 @@ class ShardedResidentCorpus:
         with self._lock:
             hit = self._operands.get(key)
         if hit is not None:
-            return hit
+            return hit[1:]
         t_loc = self.t_loc(element_width)
         valid2, vtvr2, expected_in, wc_run = sharded_step_operands(
             pat, mode, valid_count, t_loc, self.tile_elems, self.n_devices
         )
         rows = NamedSharding(self.mesh, P(DATA_AXIS))
+        # the stored pattern ref pins its id: kernel_key alone does not
+        # distinguish same-shape keywords, so a freed-and-recycled object
+        # id must never serve another pattern's expected/boundary operands
         out = (
+            pat,
             jax.device_put(valid2, rows),
             jax.device_put(vtvr2, rows),
             expected_in,
@@ -135,7 +139,7 @@ class ShardedResidentCorpus:
             if len(self._operands) > 64:
                 self._operands.clear()
             self._operands[key] = out
-        return out
+        return out[1:]
 
 
 def _derive_grid_fn(mesh, s: int, big: bool, align: int, packed: bool,

@@ -21,6 +21,9 @@ __all__ = [
     "PREFS_VERSION",
     "SETTINGS_BOUNDS",
     "clamp_setting",
+    "default_prefs_path",
+    "load_user_prefs",
+    "search_config_from_prefs",
 ]
 
 PREFS_VERSION = "1.1.0"  # MM_VERSION (``constants.hpp:8``)
@@ -70,7 +73,7 @@ class Prefs:
             "settings/perf-memory-pool": "8388608",
             "settings/perf-search-threads": "4",
             # TPU-native additions
-            "settings/perf-device-chunk": str(64 * 1024 * 1024),
+            "settings/perf-device-chunk": str(512 * 1024 * 1024),
             "settings/perf-match-semantics": "greedy",
             "ui-state/search-type": "rs",
             "ui-state/search-mode": "8-bit",
@@ -152,3 +155,64 @@ class Prefs:
                 value = prop.get("value")
                 if value is not None:
                     self.values[f"{category.tag}/{prop.tag}"] = value
+
+
+def default_prefs_path() -> Path:
+    """User config file location — the headless analog of the reference's
+    ``wxStandardPaths`` user data dir (``monkey_app.cpp:31-35``).
+    Overridable via ``MMTPU_PREFS``."""
+    import os
+
+    env = os.environ.get("MMTPU_PREFS")
+    if env:
+        return Path(env)
+    base = os.environ.get("XDG_CONFIG_HOME") or str(Path.home() / ".config")
+    return Path(base) / "monkey-moore-tpu" / "config.xml"
+
+
+def load_user_prefs(path=None):
+    """Load the user prefs with the reference's recovery behavior
+    (``monkey_app.cpp:79-113``): a missing file yields factory defaults
+    silently; a corrupt/mismatched file yields factory defaults plus the
+    error text for the caller to surface (the headless stand-in for the
+    restore-defaults-or-quit dialog).
+
+    Returns ``(Prefs, warning_or_None)``.
+    """
+    p = Path(path) if path else default_prefs_path()
+    prefs = Prefs()
+    if not p.exists():
+        return prefs, None
+    try:
+        prefs.load(p)
+        return prefs, None
+    except PrefsError as e:
+        return Prefs(), str(e)
+
+
+def search_config_from_prefs(prefs: Prefs, **overrides):
+    """Build a :class:`~monkey_moore_tpu.config.SearchConfig` the way the
+    reference GUI does (``monkey_frame.cpp:555-565``): the performance and
+    display knobs come from the preference store, and the result passes
+    through the settings-dialog bounds (``SearchConfig.clamp_ui_bounds``,
+    matching ``settings.cpp:50,64,74``).  ``overrides`` set the
+    search-specific fields (file, keyword, width, ...)."""
+    from .config import SearchConfig
+
+    cfg = SearchConfig(
+        preferred_search_block_size=prefs.get_int(
+            "settings/perf-memory-pool", 8 * 1024 * 1024
+        ),
+        preferred_num_threads=prefs.get_int(
+            "settings/perf-search-threads", 4
+        ),
+        preferred_preview_width=prefs.get_int(
+            "settings/display-preview-width", 50
+        ),
+        device_chunk_bytes=prefs.get_int(
+            "settings/perf-device-chunk", 512 * 1024 * 1024
+        ),
+    ).clamp_ui_bounds()
+    for key, value in overrides.items():
+        setattr(cfg, key, value)
+    return cfg

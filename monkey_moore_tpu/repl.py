@@ -73,7 +73,7 @@ class Repl:
     should end — directly testable without a terminal.
     """
 
-    def __init__(self, out=None):
+    def __init__(self, out=None, prefs_path=None):
         self.out = out or sys.stdout
         self.file: Optional[Path] = None
         self.width = 1
@@ -87,11 +87,86 @@ class Repl:
         self.preview_width = 50
         self.threads = 0  # 0 = hardware concurrency
         self.block_size = 524288
-        self.chunk_bytes = 64 * 1024 * 1024
+        self.chunk_bytes = 512 * 1024 * 1024  # same as SearchConfig default
         self.last_results: List[SearchResult] = []
         self.last_stats = None  # SearchStats of the last single search
         self.pending_table: Optional[dict] = None  # editable byte⇔char grid
         self._searcher = None  # MultiSearcher, rebuilt when settings change
+        #: prefs file this session loads on start and saves on quit — the
+        #: headless mirror of the reference's app bootstrap + exit flow
+        #: (``monkey_app.cpp:74-116``, save on exit ``:67-72``)
+        self._prefs_path = prefs_path
+        if prefs_path is not None:
+            self._apply_user_prefs(prefs_path)
+
+    # ------------------------------------------------------------------
+    def _apply_user_prefs(self, path) -> None:
+        """Load + apply the preference store (restore-defaults recovery on
+        corruption, like ``monkey_app.cpp:87-113``) — performance knobs via
+        the dialog-bounded accessors, UI state like the reference's startup
+        restore (``monkey_frame.cpp:349-365``)."""
+        from .prefs import load_user_prefs
+
+        prefs, warning = load_user_prefs(path)
+        if warning:
+            self._say(f"warning: {warning} (defaults restored)")
+        self.block_size = prefs.get_int(
+            "settings/perf-memory-pool", self.block_size
+        )
+        self.threads = prefs.get_int("settings/perf-search-threads", 0)
+        self.chunk_bytes = prefs.get_int(
+            "settings/perf-device-chunk", self.chunk_bytes
+        )
+        self.preview_width = prefs.get_int(
+            "settings/display-preview-width", self.preview_width
+        )
+        self.offsets = (
+            "dec"
+            if prefs.get("settings/display-offset-mode") == "dec"
+            else "hex"
+        )
+        self.width = 2 if prefs.get("ui-state/search-mode") == "16-bit" else 1
+        self.endian = (
+            Endianness.LITTLE
+            if prefs.get_bool("ui-state/endianness-little", True)
+            else Endianness.BIG
+        )
+        self.wildcard = prefs.get("ui-state/wildcard", "*") or "*"
+        self.dedup = not prefs.get_bool("ui-state/show-all-results", True)
+        sem = prefs.get("settings/perf-match-semantics", "greedy")
+        try:
+            self.semantics = MatchSemantics(sem)
+        except ValueError:
+            pass
+
+    def save_user_prefs(self) -> None:
+        """Persist the session state back to the prefs file (the
+        reference saves its config on exit, ``monkey_app.cpp:67-72``)."""
+        if self._prefs_path is None:
+            return
+        from .prefs import Prefs
+
+        prefs = Prefs()
+        prefs.set("settings/perf-memory-pool", self.block_size)
+        prefs.set(
+            "settings/perf-search-threads", self.threads or 4
+        )
+        prefs.set("settings/perf-device-chunk", self.chunk_bytes)
+        prefs.set("settings/display-preview-width", self.preview_width)
+        prefs.set("settings/display-offset-mode", self.offsets)
+        prefs.set(
+            "settings/perf-match-semantics", self.semantics.value
+        )
+        prefs.set(
+            "ui-state/search-mode", "16-bit" if self.width == 2 else "8-bit"
+        )
+        prefs.set("ui-state/endianness-little",
+                  self.endian is Endianness.LITTLE)
+        prefs.set("ui-state/wildcard", self.wildcard)
+        prefs.set("ui-state/show-all-results", not self.dedup)
+        path = Path(self._prefs_path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        prefs.save(path)
 
     # ------------------------------------------------------------------
     def _say(self, *parts) -> None:
@@ -476,8 +551,17 @@ class Repl:
         _print_results(results, cfg, args, out=self.out, err=self.out)
 
 
-def repl_main(file: Optional[str] = None, cpu: bool = False) -> int:
-    """Interactive loop (the CLI ``repl`` subcommand)."""
+def repl_main(
+    file: Optional[str] = None, cpu: bool = False, prefs: Optional[str] = None
+) -> int:
+    """Interactive loop (the CLI ``repl`` subcommand).
+
+    Loads the user preference store on startup and saves the session
+    state back on exit — the headless mirror of the reference's app
+    lifecycle (``monkey_app.cpp:74-116`` load + recovery, ``:67-72``
+    save on exit).  ``prefs`` overrides the standard location
+    (``prefs.default_prefs_path``; env ``MMTPU_PREFS``).
+    """
     if cpu:
         import jax
 
@@ -486,7 +570,9 @@ def repl_main(file: Optional[str] = None, cpu: bool = False) -> int:
         import readline  # noqa: F401 — line editing + history
     except ImportError:
         pass
-    repl = Repl()
+    from .prefs import default_prefs_path
+
+    repl = Repl(prefs_path=prefs or default_prefs_path())
     if file:
         repl.execute(f"open {shlex.quote(file)}")
     print("monkey-moore TPU interactive session ('help' for commands)")
@@ -495,9 +581,11 @@ def repl_main(file: Optional[str] = None, cpu: bool = False) -> int:
             line = input("mm> ")
         except EOFError:
             print()
+            repl.save_user_prefs()
             return 0
         except KeyboardInterrupt:
             print()
             continue
         if not repl.execute(line):
+            repl.save_user_prefs()
             return 0

@@ -503,3 +503,56 @@ class TestShardedResidentCorpus:
         assert all(v == first for v in per_mesh.values()), per_mesh
         assert first[0] == first[1] == 1  # one collective dispatch/search
         assert first[2] == 0  # repeat searches: zero H2D
+
+
+class TestLongPatternSmallShards:
+    """Review regression: a pattern LONGER than the per-device byte count
+    must not shrink tile_elems below the window length (shard/tile halos
+    are exactly one tile — an undersized tile made boundary windows read
+    shifted data: false positives AND misses)."""
+
+    def test_mesh_resident_long_keyword(self, devices, tmp_path, rng):
+        from monkey_moore_tpu.config import SearchConfig
+        from monkey_moore_tpu.engine import SearchEngine
+        from monkey_moore_tpu.parallel import resident
+
+        resident.clear_sharded_corpus_cache()
+        kw = "abcdefghijklmnopqrstuvwxyz" * 3  # 78 chars > 512/8 bytes
+        data = rng.integers(0, 256, 512).astype(np.uint8)
+        enc = np.array([ord(c) + 3 for c in kw], dtype=np.uint8)
+        for pos in (0, 100, 200, 300, 512 - len(kw)):
+            data[pos : pos + len(kw)] = enc
+        p = tmp_path / "long.bin"
+        p.write_bytes(data.tobytes())
+        base = dict(file_path=p, keyword=kw)
+        want = [
+            r.offset for r in SearchEngine(SearchConfig(**base)).run()
+        ]
+        e = SearchEngine(SearchConfig(**base, devices=devices[:8]))
+        got = [r.offset for r in e.run()]
+        assert got == want
+        assert 300 in got and (512 - len(kw)) in got
+
+    def test_mesh_multi_long_keyword(self, devices, tmp_path, rng):
+        from monkey_moore_tpu.multi import MultiSearcher
+        from monkey_moore_tpu.parallel import resident
+
+        resident.clear_sharded_corpus_cache()
+        kw = "abcdefghijklmnopqrstuvwxyz" * 3
+        data = rng.integers(0, 256, 512).astype(np.uint8)
+        enc = np.array([ord(c) + 5 for c in kw], dtype=np.uint8)
+        data[77 : 77 + len(kw)] = enc
+        p = tmp_path / "longm.bin"
+        p.write_bytes(data.tobytes())
+        want = [
+            [r.offset for r in g]
+            for g in MultiSearcher(p).search([kw, "zzzzz"])
+        ]
+        got = [
+            [r.offset for r in g]
+            for g in MultiSearcher(p, devices=devices[:8]).search(
+                [kw, "zzzzz"]
+            )
+        ]
+        assert got == want
+        assert got[0] == [77]

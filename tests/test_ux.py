@@ -215,6 +215,58 @@ class TestPrefs:
         ).preferred_num_threads == 0
         assert cfg.preferred_search_block_size == 8
 
+    def test_load_user_prefs_recovery(self, tmp_path):
+        """``load_user_prefs`` mirrors the app bootstrap
+        (``monkey_app.cpp:79-113``): missing file -> silent defaults;
+        corrupt file -> defaults + the error text to surface."""
+        from monkey_moore_tpu.prefs import load_user_prefs
+
+        prefs, warn = load_user_prefs(tmp_path / "missing.xml")
+        assert warn is None
+        assert prefs.get_int("settings/perf-search-threads") == 4
+
+        (tmp_path / "bad.xml").write_text("garbage")
+        prefs, warn = load_user_prefs(tmp_path / "bad.xml")
+        assert warn and "preferences" in warn
+        assert prefs.get_int("settings/perf-search-threads") == 4
+
+    def test_search_config_from_prefs(self, tmp_path):
+        """The GUI's prefs->SearchConfig flow (``monkey_frame.cpp:555-565``)
+        with dialog bounds applied end to end."""
+        from monkey_moore_tpu.prefs import search_config_from_prefs
+
+        p = Prefs()
+        p.values["settings/perf-memory-pool"] = str(1 << 30)  # hand-edited
+        p.values["settings/display-preview-width"] = "7"
+        cfg = search_config_from_prefs(p, keyword="monkey", element_width=2)
+        assert cfg.preferred_search_block_size == 64 * 1024 * 1024
+        assert cfg.preferred_preview_width == 20
+        assert cfg.preferred_num_threads == 4
+        assert cfg.keyword == "monkey" and cfg.element_width == 2
+
+    def test_repl_prefs_round_trip(self, tmp_path):
+        """REPL session state persists like the reference app (load on
+        start ``monkey_app.cpp:74``, save on exit ``:67-72``)."""
+        import io
+
+        from monkey_moore_tpu.repl import Repl
+
+        path = tmp_path / "cfg" / "config.xml"
+        r1 = Repl(out=io.StringIO(), prefs_path=path)
+        r1.execute("set width 16")
+        r1.execute("set endian big")
+        r1.execute("set offsets dec")
+        r1.execute("set threads 3")
+        r1.save_user_prefs()
+        assert path.exists()
+
+        r2 = Repl(out=io.StringIO(), prefs_path=path)
+        assert r2.width == 2
+        assert r2.offsets == "dec"
+        assert r2.threads == 3
+        from monkey_moore_tpu.config import Endianness
+        assert r2.endian is Endianness.BIG
+
     def test_parse_error(self, tmp_path):
         (tmp_path / "bad.xml").write_text("garbage")
         with pytest.raises(PrefsError):
