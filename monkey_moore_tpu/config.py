@@ -141,8 +141,10 @@ class SearchConfig:
     use_pallas: bool = True
     #: Files up to this size stay resident in device HBM between searches
     #: (interactive ROM exploration: upload once, search many keywords).
+    #: Default sized for a 16 GiB-HBM chip minus scan working set (the
+    #: 12 GiB headline bench corpus + gather slots fit comfortably).
     #: 0 disables residency.
-    resident_bytes_limit: int = 2 * 1024 * 1024 * 1024
+    resident_bytes_limit: int = 12 * 1024 * 1024 * 1024
     #: Files at or below this size bypass the device entirely: the host
     #: dense scanner (``native/mm_walker.cpp:mm_dense_scan_*``, ~memory
     #: bandwidth) beats paying the dispatch round trip.  The reference's

@@ -50,7 +50,7 @@ class MultiSearcher:
         device_chunk_bytes: int = 512 * 1024 * 1024,
         preferred_preview_width: int = 50,
         semantics: MatchSemantics = MatchSemantics.GREEDY,
-        resident_bytes_limit: int = 2 * 1024 * 1024 * 1024,
+        resident_bytes_limit: int = 12 * 1024 * 1024 * 1024,
         devices=None,
     ):
         self.file_path = Path(file_path)
