@@ -115,6 +115,25 @@ def finalize_candidates(
     return results
 
 
+_HOST_FILE_CACHE: dict = {}  # most recent small file's bytes (host RAM)
+
+
+def _host_file_bytes(path: Path, file_size: int) -> np.ndarray:
+    """Bytes of a small file, cached by (path, size, mtime) — the host-side
+    analog of the resident device corpus for the host latency path."""
+    try:
+        st = path.stat()
+    except OSError:
+        return np.memmap(path, dtype=np.uint8, mode="r")
+    key = (str(path), st.st_size, st.st_mtime_ns)
+    hit = _HOST_FILE_CACHE.get(key)
+    if hit is None:
+        hit = np.fromfile(path, dtype=np.uint8)
+        _HOST_FILE_CACHE.clear()
+        _HOST_FILE_CACHE[key] = hit
+    return hit
+
+
 def _normalize_abort(abort_flag) -> Callable[[], bool]:
     if abort_flag is None:
         return lambda: False
@@ -214,9 +233,15 @@ class SearchEngine:
 
         progress(0, SearchStep.SEARCHING)
 
-        data = np.memmap(path, dtype=np.uint8, mode="r") if file_size else np.zeros(
-            0, dtype=np.uint8
-        )
+        if file_size and file_size <= cfg.host_latency_threshold_bytes:
+            # files small enough for the host route keep their bytes in a
+            # process cache: repeat interactive searches skip even the
+            # memmap setup (~0.1 ms — measurable against a 40 µs scan)
+            data = _host_file_bytes(path, file_size)
+        elif file_size:
+            data = np.memmap(path, dtype=np.uint8, mode="r")
+        else:
+            data = np.zeros(0, dtype=np.uint8)
 
         use_host = (
             cfg.semantics is not MatchSemantics.REFERENCE
