@@ -343,7 +343,6 @@ class SearchEngine:
         from .dense import (
             TILE_ELEMS,
             extract_hot_tiles,
-            tile_counts,
             wants_packed,
         )
 
@@ -465,12 +464,13 @@ class SearchEngine:
                 per_group.setdefault((block_id, a), []).append(e_global)
                 candidate_info[(a, e_global)] = (byte_off, val)
 
-        # Pipelined fused steps (resident path): up to ``pipeline_depth``
-        # dispatches stay in flight, so chunk k+1's dispatch + execution
-        # overlaps chunk k's result fetch — on a latency-dominated link the
-        # fetch round trip hides behind the next chunk's compute
-        # (docs/PERF.md).  The deque holds (meta, FusedPending) plus
-        # progress markers (meta, None) so callbacks fire in chunk order.
+        # Pipelined fused steps (resident AND streaming paths): up to
+        # ``pipeline_depth`` dispatches stay in flight, so chunk k+1's
+        # upload/dispatch + execution overlaps chunk k's result fetch — on
+        # a latency-dominated link the fetch round trip hides behind the
+        # next chunk's compute (docs/PERF.md).  The deque holds
+        # (meta, FusedPending) plus progress markers (meta, None) so
+        # callbacks fire in chunk order.
         from collections import deque
 
         from .dense import fused_count_extract_finish, fused_count_extract_start
@@ -587,28 +587,30 @@ class SearchEngine:
                     if not flush(depth):
                         return None
                 else:
+                    # streaming path (file over the residency limit):
+                    # upload the decoded chunk (async device_put) and run
+                    # the same pipelined fused step as the resident path —
+                    # chunk k+1's upload/dispatch overlaps chunk k's fetch
                     with timer.stage("decode"):
                         arr = self._decode_grid(data, a, e0, count_here)
                         if len(arr) < want:
                             arr = np.pad(arr, (0, want - len(arr)))
                     with timer.stage("device_scan"):
-                        counts = tile_counts(
+                        dev_arr = jnp.asarray(arr)
+                        pnd = fused_count_extract_start(
                             pat,
-                            jnp.asarray(arr),
+                            dev_arr,
                             count_here,
                             use_pallas=cfg.use_pallas,
                             tile_elems=tile_elems,
                         )
                     timer.stats.device_dispatches += 1
                     timer.stats.bytes_scanned += count_here * s
-                    hot_here = int((counts > 0).sum())
-                    offs = vals = None
-                    if hot_here:
-                        with timer.stage("host_extract"):
-                            offs, vals = extract_hot_tiles(
-                                pat, arr[:count_here], counts, tile_elems
-                            )
-                    record_step(a, e0, offs, vals, None, hot_here)
+                    timer.stats.h2d_bytes += arr.nbytes
+                    pending.append(((a, e0), pnd))
+                    in_flight[0] += 1
+                    if not flush(depth):
+                        return None
             # progress: blocks fully covered by the chunks processed so far
             # (deferred behind any in-flight steps so callbacks stay in
             # chunk order)

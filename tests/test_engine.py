@@ -695,3 +695,36 @@ class TestBlockMath:
         assert blocks == [(0, 32), (29, 32), (58, 6)]
         blocks = compute_search_blocks(128, 4, 2, 16)
         assert blocks == [(i * 16, min(22, 128 - i * 16)) for i in range(8)]
+
+
+class TestStreamingFusedPath:
+    """Files over the residency limit stream chunks through the same
+    pipelined fused step as the resident path (upload + dispatch of chunk
+    k+1 overlaps chunk k's fetch)."""
+
+    @pytest.mark.parametrize("width", [1, 2])
+    def test_streamed_equals_resident(self, tmp_path, width):
+        rng = np.random.default_rng(17)
+        dtype = np.uint8 if width == 1 else np.uint16
+        mod = 1 << (8 * width)
+        data = rng.integers(0, mod, 90_000).astype(dtype)
+        enc = (text_u8 if width == 1 else text_u16)("monkey", 4)
+        for pos in (1, 30_000, 60_001, len(data) - 6):
+            data[pos : pos + 6] = enc.astype(dtype)
+        path = write_file(tmp_path, data.astype(f"<u{width}"))
+        base = dict(
+            file_path=path, keyword="monkey", element_width=width,
+            device_chunk_bytes=16_384, host_latency_threshold_bytes=0,
+        )
+        res_eng = SearchEngine(SearchConfig(**base))
+        want = [r.offset for r in res_eng.run()]
+        assert want == [1 * width, 30_000 * width, 60_001 * width,
+                        (len(data) - 6) * width]
+        stream_eng = SearchEngine(
+            SearchConfig(**base, resident_bytes_limit=0)
+        )
+        got = [r.offset for r in stream_eng.run()]
+        assert got == want
+        st = stream_eng.last_stats
+        assert st.fused_steps >= 4  # the fused pipeline ran
+        assert st.h2d_bytes > 0  # streamed chunks were uploaded
