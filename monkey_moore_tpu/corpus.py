@@ -54,12 +54,8 @@ class ResidentCorpus:
         self.device_words = jax.device_put(jnp.asarray(words))
         jax.block_until_ready(self.device_words)
 
-    # kept for callers/tests that size against the device buffer
-    @property
-    def device_bytes(self):
-        return self.device_words
-
     def __len__(self):
+        """Byte capacity of the device buffer."""
         return self.device_words.size * 4
 
     def grid_chunk(
@@ -119,17 +115,13 @@ def _grid_fn():
             )
         if packed:
             return jax.lax.bitcast_convert_type(w, jnp.int32)
-        if s == 1:
-            out = jnp.stack(
-                [(w >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)
-                 for j in range(4)],
-                axis=1,
-            ).reshape(-1)
-            return out[:want].astype(jnp.uint8)
-        lo = w & jnp.uint32(0xFFFF)
-        hi = w >> jnp.uint32(16)
-        out = jnp.stack([lo, hi], axis=1).reshape(-1)
-        return out[:want].astype(jnp.uint16)
+        # element output via 1-D gather + shift — a stacked [N, 4]
+        # interleave would re-create the tile-padding hazard above
+        per_word = 4 // s
+        idx = jnp.arange(want, dtype=jnp.int32)
+        shift = (idx % per_word).astype(jnp.uint32) * jnp.uint32(8 * s)
+        out = (w[idx // per_word] >> shift) & jnp.uint32((1 << (8 * s)) - 1)
+        return out.astype(jnp.uint8 if s == 1 else jnp.uint16)
 
     return grid_on_device
 

@@ -355,11 +355,13 @@ class SearchEngine:
 
         # Chunk span is a whole number of count tiles; each chunk array adds
         # one halo/padding tile so cross-chunk windows read real data.
-        # Clamped by the file size so small forced-device searches don't
-        # allocate (and pad the resident corpus by) a full chunk.
-        desired = max(
-            L, min(cfg.device_chunk_bytes, max(file_size, 1)) // s
-        )
+        # Clamped by the file size — rounded up to a power of two so small
+        # forced-device searches don't allocate a full chunk, while jit
+        # shapes stay stable per size BUCKET (an exact-size clamp would
+        # recompile for every distinct file size; relay compiles cost
+        # 10s-minutes)
+        size_bucket = 1 << (max(file_size, 1) - 1).bit_length()
+        desired = max(L, min(cfg.device_chunk_bytes, size_bucket) // s)
         tile_elems = min(TILE_ELEMS, 1 << (desired - 1).bit_length())
         tiles_per_chunk = max(1, desired // tile_elems)
         chunk_elems = tiles_per_chunk * tile_elems

@@ -120,9 +120,10 @@ class MultiSearcher:
         s = self.element_width
         l_max = max(p.length for p in pats)
 
-        desired = max(
-            l_max, min(self.chunk_bytes, max(file_size, 1)) // s
-        )
+        # power-of-two size bucket: stable jit shapes per bucket (see the
+        # engine's chunk sizing note)
+        size_bucket = 1 << (max(file_size, 1) - 1).bit_length()
+        desired = max(l_max, min(self.chunk_bytes, size_bucket) // s)
         tile_elems = min(TILE_ELEMS, 1 << (desired - 1).bit_length())
         tiles_per_chunk = max(1, desired // tile_elems)
         chunk_elems = tiles_per_chunk * tile_elems
@@ -203,12 +204,27 @@ class MultiSearcher:
                         candidate_info[pi][(a, e_global)] = (byte_off, val)
 
                 if use_fused:
-                    fused = fused_count_extract_multi(
-                        pats, dev_arr, count_here, tile_elems=tile_elems
-                    )
-                    for pi, (offs, vals, _info) in enumerate(fused):
-                        emit(pi, offs, vals)
-                    continue
+                    try:
+                        fused = fused_count_extract_multi(
+                            pats, dev_arr, count_here, tile_elems=tile_elems
+                        )
+                    except Exception as e:  # e.g. scoped-VMEM lowering
+                        # refusal for a very large batch — degrade to the
+                        # XLA multi-count path for the rest of the search
+                        from .utils.logging import log
+
+                        log("fused multi batch failed (", e,
+                            "); XLA multi-count fallback")
+                        use_fused = False
+                        if resident is not None:
+                            dev_arr = resident.grid_chunk(
+                                s, self.endianness, a, e0, want,
+                                packed=False,
+                            )
+                    else:
+                        for pi, (offs, vals, _info) in enumerate(fused):
+                            emit(pi, offs, vals)
+                        continue
 
                 counts_all = tile_counts_multi_xla(
                     dev_arr,
@@ -314,11 +330,18 @@ class MultiSearcher:
             if valid_count < l_min:
                 continue
             dev_in = corpus.grid(s, self.endianness, a, packed=True)
-            res = sharded_fused_multi_step(
-                pats, dev_in, mesh, valid_count, corpus.tile_elems,
-                corpus.t_loc(s),
-            )
-            if res is None:  # lost eligibility (e.g. backend changed)
+            try:
+                res = sharded_fused_multi_step(
+                    pats, dev_in, mesh, valid_count, corpus.tile_elems,
+                    corpus.t_loc(s),
+                )
+            except Exception as e:  # lowering refusal (huge batch)
+                from .utils.logging import log
+
+                log("sharded fused multi failed (", e,
+                    "); per-keyword fallback")
+                res = None
+            if res is None:  # lost eligibility / lowering refused
                 return per_keyword_fallback()
             arr = None  # decoded once per alignment, only if any overflow
             for pi, (offs, vals, _info, over) in enumerate(res):

@@ -178,16 +178,14 @@ def _derive_grid_fn(mesh, s: int, big: bool, align: int, packed: bool,
         if packed:
             out = jax.lax.bitcast_convert_type(w, jnp.int32)
             return out.reshape(-1, lanes32)
-        if s == 1:
-            bytes_ = [
-                (w >> jnp.uint32(8 * k)) & jnp.uint32(0xFF) for k in range(4)
-            ]
-            return (
-                jnp.stack(bytes_, axis=1).reshape(-1).astype(jnp.uint8)
-            )
-        lo = w & jnp.uint32(0xFFFF)
-        hi = w >> jnp.uint32(16)
-        return jnp.stack([lo, hi], axis=1).reshape(-1).astype(jnp.uint16)
+        # element output via 1-D gather + shift — a stacked [N, 4]
+        # interleave is ~32x tile-padded on TPU (docs/PERF.md pitfall 6)
+        per_word = 4 // s
+        n_el = words_per_device * per_word
+        idx = jnp.arange(n_el, dtype=jnp.int32)
+        shift = (idx % per_word).astype(jnp.uint32) * jnp.uint32(8 * s)
+        out = (w[idx // per_word] >> shift) & jnp.uint32((1 << (8 * s)) - 1)
+        return out.astype(jnp.uint8 if s == 1 else jnp.uint16)
 
     from jax.sharding import PartitionSpec as P
 

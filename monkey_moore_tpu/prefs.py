@@ -58,6 +58,9 @@ class PrefsError(Exception):
 class Prefs:
     def __init__(self):
         self.values: Dict[str, str] = {}
+        #: keys that came from an XML file (vs factory defaults) — lets
+        #: callers apply only explicitly-persisted knobs
+        self.loaded_keys: set = set()
         self.set_default_values()
 
     def set_default_values(self) -> None:
@@ -154,7 +157,9 @@ class Prefs:
             for prop in category:
                 value = prop.get("value")
                 if value is not None:
-                    self.values[f"{category.tag}/{prop.tag}"] = value
+                    key = f"{category.tag}/{prop.tag}"
+                    self.values[key] = value
+                    self.loaded_keys.add(key)
 
 
 def default_prefs_path() -> Path:

@@ -104,52 +104,82 @@ class Repl:
         """Load + apply the preference store (restore-defaults recovery on
         corruption, like ``monkey_app.cpp:87-113``) — performance knobs via
         the dialog-bounded accessors, UI state like the reference's startup
-        restore (``monkey_frame.cpp:349-365``)."""
+        restore (``monkey_frame.cpp:349-365``).  No file -> REPL defaults
+        stay untouched (a factory ``Prefs()`` pre-populates every key, so
+        applying it would silently override them)."""
         from .prefs import load_user_prefs
 
+        if not Path(path).exists():
+            return
         prefs, warning = load_user_prefs(path)
         if warning:
             self._say(f"warning: {warning} (defaults restored)")
-        self.block_size = prefs.get_int(
-            "settings/perf-memory-pool", self.block_size
-        )
-        self.threads = prefs.get_int("settings/perf-search-threads", 0)
-        self.chunk_bytes = prefs.get_int(
-            "settings/perf-device-chunk", self.chunk_bytes
-        )
-        self.preview_width = prefs.get_int(
-            "settings/display-preview-width", self.preview_width
-        )
-        self.offsets = (
-            "dec"
-            if prefs.get("settings/display-offset-mode") == "dec"
-            else "hex"
-        )
-        self.width = 2 if prefs.get("ui-state/search-mode") == "16-bit" else 1
-        self.endian = (
-            Endianness.LITTLE
-            if prefs.get_bool("ui-state/endianness-little", True)
-            else Endianness.BIG
-        )
-        self.wildcard = prefs.get("ui-state/wildcard", "*") or "*"
-        self.dedup = not prefs.get_bool("ui-state/show-all-results", True)
-        sem = prefs.get("settings/perf-match-semantics", "greedy")
-        try:
-            self.semantics = MatchSemantics(sem)
-        except ValueError:
-            pass
+            return
+
+        def has(key):  # only apply knobs the FILE persisted — factory
+            return key in prefs.loaded_keys  # defaults must not override
+
+        if has("settings/perf-memory-pool"):
+            self.block_size = prefs.get_int("settings/perf-memory-pool")
+        # threads 0 = hardware concurrency is outside the dialog's 1-16
+        # range, so auto is carried by a side key
+        if prefs.get_bool("settings/perf-search-threads-auto", False):
+            self.threads = 0
+        elif has("settings/perf-search-threads"):
+            self.threads = prefs.get_int("settings/perf-search-threads")
+        if has("settings/perf-device-chunk"):
+            self.chunk_bytes = prefs.get_int("settings/perf-device-chunk")
+        if has("settings/display-preview-width"):
+            self.preview_width = prefs.get_int(
+                "settings/display-preview-width"
+            )
+        if has("settings/display-offset-mode"):
+            self.offsets = (
+                "dec"
+                if prefs.get("settings/display-offset-mode") == "dec"
+                else "hex"
+            )
+        if has("ui-state/search-mode"):
+            self.width = (
+                2 if prefs.get("ui-state/search-mode") == "16-bit" else 1
+            )
+        if has("ui-state/endianness-little"):
+            self.endian = (
+                Endianness.LITTLE
+                if prefs.get_bool("ui-state/endianness-little", True)
+                else Endianness.BIG
+            )
+        if has("ui-state/wildcard"):
+            self.wildcard = prefs.get("ui-state/wildcard", "*") or "*"
+        if has("ui-state/show-all-results"):
+            self.dedup = not prefs.get_bool("ui-state/show-all-results", True)
+        if has("settings/perf-match-semantics"):
+            try:
+                self.semantics = MatchSemantics(
+                    prefs.get("settings/perf-match-semantics", "greedy")
+                )
+            except ValueError:
+                pass
 
     def save_user_prefs(self) -> None:
         """Persist the session state back to the prefs file (the
-        reference saves its config on exit, ``monkey_app.cpp:67-72``)."""
+        reference saves its config on exit, ``monkey_app.cpp:67-72``) —
+        best-effort: an unwritable config dir warns instead of raising."""
         if self._prefs_path is None:
             return
         from .prefs import Prefs
 
         prefs = Prefs()
-        prefs.set("settings/perf-memory-pool", self.block_size)
+        # block size has no REPL setter and the dialog-bounded store would
+        # clamp the 512 KiB library default to 1 MiB on round trip — omit
+        # the key so the session default survives; a hand-edited file
+        # still loads
+        prefs.values.pop("settings/perf-memory-pool", None)
         prefs.set(
             "settings/perf-search-threads", self.threads or 4
+        )
+        prefs.set(
+            "settings/perf-search-threads-auto", self.threads == 0
         )
         prefs.set("settings/perf-device-chunk", self.chunk_bytes)
         prefs.set("settings/display-preview-width", self.preview_width)
@@ -165,8 +195,11 @@ class Repl:
         prefs.set("ui-state/wildcard", self.wildcard)
         prefs.set("ui-state/show-all-results", not self.dedup)
         path = Path(self._prefs_path)
-        path.parent.mkdir(parents=True, exist_ok=True)
-        prefs.save(path)
+        try:
+            path.parent.mkdir(parents=True, exist_ok=True)
+            prefs.save(path)
+        except OSError as e:
+            self._say(f"warning: could not save preferences: {e}")
 
     # ------------------------------------------------------------------
     def _say(self, *parts) -> None:
