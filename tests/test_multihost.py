@@ -45,6 +45,10 @@ cfg = SearchConfig(
     semantics=MatchSemantics[semantics],
     device_chunk_bytes=8192,
 )
+if mode == "stream":
+    # force the streaming fused path (no resident corpus) on every host
+    cfg.resident_bytes_limit = 0
+    cfg.host_latency_threshold_bytes = 0
 if mode == "abort":
     # the abort flag must be raised on EVERY host (the final gather is a
     # collective); tripping it at the first progress callback aborts each
@@ -163,6 +167,23 @@ def test_three_process_uneven_tail(tmp_path, rng, semantics):
     assert outs[0] == outs[1] == outs[2]
     assert outs[0] == _single_host_expect(path, semantics)
     assert [o for o, _ in outs[0]] == [5, 16_664, 33_331, n - 6]
+
+
+def test_two_process_streaming_path(tmp_path, rng):
+    """Multi-host with residency disabled: each host streams its owned
+    chunks through the pipelined fused path; the gathered global list
+    must still match a single-host run."""
+    data = rng.integers(0, 256, 60_000).astype(np.uint8)
+    enc = np.array([ord(c) + 9 for c in "monkey"], dtype=np.uint8)
+    for pos in (5, 29_997, 45_000, 59_994):
+        data[pos : pos + 6] = enc
+    path = tmp_path / "stream.bin"
+    path.write_bytes(data.tobytes())
+
+    outs = _run_pod(tmp_path, path, 2, "GREEDY", mode="stream")
+    assert outs[0] == outs[1]
+    assert outs[0] == _single_host_expect(path, "GREEDY")
+    assert [o for o, _ in outs[0]] == [5, 29_997, 45_000, 59_994]
 
 
 def test_cross_host_abort(tmp_path, rng):
