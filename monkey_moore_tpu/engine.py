@@ -117,6 +117,22 @@ def finalize_candidates(
 
 _HOST_FILE_CACHE: dict = {}  # most recent small file's bytes (host RAM)
 
+_HOST_POOL = [None, 0]  # lazy persistent executor: [pool, max_workers]
+
+
+def _host_pool(n_threads: int):
+    """Process-wide thread pool for host-path slice scans — creating an
+    executor per search cost ~1-2 ms, erasing the 2-thread win at the
+    8-16 MiB sweep sizes."""
+    import concurrent.futures
+
+    if _HOST_POOL[0] is None or _HOST_POOL[1] < n_threads:
+        _HOST_POOL[0] = concurrent.futures.ThreadPoolExecutor(
+            max_workers=n_threads
+        )
+        _HOST_POOL[1] = n_threads
+    return _HOST_POOL[0]
+
 
 def _host_file_bytes(path: Path, file_size: int) -> np.ndarray:
     """Bytes of a small file, cached by (path, size, mtime) — the host-side
@@ -787,10 +803,11 @@ class SearchEngine:
         per_group: dict = {}
         candidate_info: dict = {}
         n_threads = cfg.preferred_num_threads or (os.cpu_count() or 1)
-        # pool threshold measured on the dev host: below ~24 MiB the
-        # submit/harvest overhead eats the bandwidth win (8 MiB: 3.97 GB/s
-        # sequential vs 3.27 pooled; 32 MiB: 3.9 vs 5.1)
-        use_pool = n_threads > 1 and file_size >= 24 * 1024 * 1024
+        # persistent pool (module-level executor): threshold measured on
+        # the dev host — per-search executor creation used to eat the
+        # 2-thread win below ~24 MiB; with the shared pool the crossover
+        # sits near 4 MiB
+        use_pool = n_threads > 1 and file_size >= 4 * 1024 * 1024
         # responsive abort/progress on multi-MB files without hurting the
         # scanner's throughput (slices are >> its internal block); with a
         # pool, enough slices that every worker stays busy
@@ -798,7 +815,7 @@ class SearchEngine:
         if use_pool:
             slice_bytes = min(
                 slice_bytes,
-                max(4 * 1024 * 1024, file_size // (2 * n_threads)),
+                max(1024 * 1024, file_size // (2 * n_threads)),
             )
         slice_elems = max(L, slice_bytes // s)
         grids = []
@@ -847,37 +864,35 @@ class SearchEngine:
                 slice_jobs[k] = slice_jobs.get(k, 0) + 1
             done_slices = 0
             t0 = _time.perf_counter()
-            with concurrent.futures.ThreadPoolExecutor(
-                max_workers=n_threads
-            ) as pool:
-                futs = {
-                    pool.submit(
-                        host_candidates_values, pat,
-                        arr[e0 : e0 + count_here],
-                    ): (k, e0, a, count_here)
-                    for k, e0, a, arr, count_here in jobs
-                }
-                try:
-                    for fut in concurrent.futures.as_completed(futs):
-                        k, e0, a, count_here = futs[fut]
-                        offs, vals = fut.result()
-                        timer.stats.bytes_scanned += count_here * s
-                        record(e0, a, offs, vals)
-                        slice_jobs[k] -= 1
-                        if slice_jobs[k] == 0:
-                            done_slices += 1
-                            # equal per-block increments commute, so
-                            # advancing by COMPLETED slice count emits the
-                            # exact sequential callback sequence
-                            if not tracker.advance_to(
-                                min(file_size,
-                                    done_slices * slice_elems * s),
-                                final=(done_slices == n_slices),
-                            ):
-                                return None
-                finally:
-                    for fut in futs:
-                        fut.cancel()
+            pool = _host_pool(n_threads)
+            futs = {
+                pool.submit(
+                    host_candidates_values, pat,
+                    arr[e0 : e0 + count_here],
+                ): (k, e0, a, count_here)
+                for k, e0, a, arr, count_here in jobs
+            }
+            try:
+                for fut in concurrent.futures.as_completed(futs):
+                    k, e0, a, count_here = futs[fut]
+                    offs, vals = fut.result()
+                    timer.stats.bytes_scanned += count_here * s
+                    record(e0, a, offs, vals)
+                    slice_jobs[k] -= 1
+                    if slice_jobs[k] == 0:
+                        done_slices += 1
+                        # equal per-block increments commute, so
+                        # advancing by COMPLETED slice count emits the
+                        # exact sequential callback sequence
+                        if not tracker.advance_to(
+                            min(file_size,
+                                done_slices * slice_elems * s),
+                            final=(done_slices == n_slices),
+                        ):
+                            return None
+            finally:
+                for fut in futs:
+                    fut.cancel()
             timer.stats.stage_seconds["host_scan"] = (
                 timer.stats.stage_seconds.get("host_scan", 0.0)
                 + _time.perf_counter()
