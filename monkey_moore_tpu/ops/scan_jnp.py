@@ -75,8 +75,12 @@ def pattern_operand_cache(pat) -> dict:
             # patterns are memoized process-long (compile_pattern); bound
             # the per-pattern device-operand entries (keyed by chunk
             # geometry) so many distinct file/chunk sizes can't pin
-            # buffers without limit
+            # buffers without limit.  The geometry-INDEPENDENT check-table
+            # uploads ('args') survive the eviction — dropping them would
+            # cost several relay round trips on the very next step.
+            keep = {k: v for k, v in cache.items() if k == "args"}
             cache.clear()
+            cache.update(keep)
     return cache
 
 
@@ -197,9 +201,14 @@ def prefilter_expected(pat) -> np.ndarray:
     )
 
 
-#: Pallas kernels shift within one (sublanes, 128)-element row; checks whose
-#: window shift stays under this keep the pattern Pallas-eligible.
-_ROW_ELEMS = 128
+#: Pallas kernels shift within one kernel row; checks whose window shift
+#: stays under this keep the pattern Pallas-eligible.  MUST equal
+#: ``scan_pallas.LANES`` (asserted there at import — scan_jnp cannot import
+#: scan_pallas without a cycle).  Was stale at 128 while the enforced
+#: eligibility bound is ``max_shift < LANES = 1024``, so the selection
+#: heuristic needlessly deprioritized shifts in [128, 1024) and could
+#: select an ineligible >=1024 shift over eligible ones.
+_ROW_ELEMS = 1024
 
 
 def prefilter_cap(dtype) -> int:

@@ -50,6 +50,14 @@ __all__ = [
 ]
 
 LANES = 1024  # elements per row (8 VPU lane groups)
+
+# the check-selection heuristic's row bound must track LANES (scan_jnp
+# cannot import this module without a cycle)
+from .scan_jnp import _ROW_ELEMS as _SELECTION_ROW_ELEMS  # noqa: E402
+
+assert _SELECTION_ROW_ELEMS == LANES, (
+    "scan_jnp._ROW_ELEMS must equal scan_pallas.LANES"
+)
 DEFAULT_TILE_ROWS = 256  # 256 KiB per tile for u8 (measured: fewer grid
 # steps amortize the ~0.7 µs/step scalar prologue; 256 KiB balances kernel
 # rate against host hot-tile extraction granularity)
@@ -88,16 +96,23 @@ def _run_probe_kernel(mode: str) -> None:
         o_ref[0, 0] = jnp.sum((d == a).astype(jnp.int32))
 
     if mode == "swar":
-        x = jnp.zeros((8, 128), dtype=jnp.int32)
+        inputs = [jnp.zeros((8, 128), dtype=jnp.int32)]
     else:
-        x = jnp.zeros((32, 128), dtype=jnp.uint8)
-    out = pl.pallas_call(
-        probe_kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
-    )(x)
-    jax.block_until_ready(out)
+        # "native" must legalize BOTH element widths the process can scan
+        # (a toolchain legalizing i8 but not i16 vector math would
+        # otherwise cache mode='native' and crash on 16-bit searches)
+        inputs = [
+            jnp.zeros((32, 128), dtype=jnp.uint8),
+            jnp.zeros((16, 128), dtype=jnp.uint16),
+        ]
+    for x in inputs:
+        out = pl.pallas_call(
+            probe_kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        )(x)
+        jax.block_until_ready(out)
 
 
 def pallas_compute_mode() -> str | None:
@@ -837,6 +852,11 @@ def _tile_counts_swar_multi_call(
         hH, hLOW, hONES = _i32c(H), _i32c(LOW), _i32c(ONES)
 
         ext = jnp.concatenate([tile, nxt], axis=0)
+        # same load-bearing invariant as the single-pattern kernel (see
+        # _tile_counts_swar_call): ext_down's final duplicated row is junk,
+        # consumed only by window starts past tile_rows + halo that the
+        # valid masking excludes — any halo-row change must be mirrored in
+        # BOTH kernels
         ext_down = jnp.concatenate([tile[1:], nxt, nxt[7:8]], axis=0)
 
         def swar_sub(x, y):
@@ -979,15 +999,14 @@ def _tile_counts_swar_multi_call(
     )
 
 
-def dispatch_group_cap(tile_rows: int, width: int) -> int:
+def dispatch_group_cap(
+    tile_rows: int, width: int, n_patterns: int = 1
+) -> int:
     """Largest ``fine_per_block`` the grouped dispatch can use for this
-    fine-tile height: power-of-two block growth capped by 1024 fine tiles
-    and the 2 MiB dispatch-block VMEM budget (see swar_dispatch_args)."""
-    max_block_rows = (2 * 1024 * 1024) // (LANES * width)
-    cap = 1
-    while cap * 2 <= 1024 and tile_rows * cap * 2 <= max_block_rows:
-        cap *= 2
-    return cap
+    fine-tile height — expressed through :func:`dispatch_grouping` (the
+    single source of truth for the block bounds) by asking it to group a
+    fully divisible tile count."""
+    return dispatch_grouping(1 << 30, tile_rows, width, n_patterns)[1]
 
 
 def dispatch_grouping(
