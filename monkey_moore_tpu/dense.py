@@ -422,6 +422,29 @@ def fused_count_extract(
     )
 
 
+#: fused result-buffer layout, shared byte-for-byte by the two assemblers
+#: (``scan_jnp.fused_body_xla``, ``scan_pallas._hot_slots_and_combo``) and
+#: every decoder below + ``parallel.sharded.parse_sharded_combos``:
+#: ``[n_hot, prefilter_total, n_cand, hot_ids[k_cap], hot_counts[k_cap],
+#:   flat_idx[p_cap], v0[p_cap], v1[p_cap]]`` — change it in ALL places or
+#: offsets silently decode from the wrong region.
+COMBO_HEADER = 3
+
+
+def combo_fields(combo: np.ndarray, k_cap: int, p_cap: int):
+    """Decode one packed result buffer into its raw fields:
+    ``(n_hot, prefilter_total, n_cand, hot_ids, flat_idx, v0, v1)``
+    (candidate arrays trimmed to ``n_cand``)."""
+    n_hot, total, n_cand = int(combo[0]), int(combo[1]), int(combo[2])
+    hot = combo[COMBO_HEADER : COMBO_HEADER + k_cap].astype(np.int64)
+    base = COMBO_HEADER + 2 * k_cap
+    m = min(n_cand, p_cap)
+    flat_idx = combo[base : base + p_cap][:m].astype(np.int64)
+    v0 = combo[base + p_cap : base + 2 * p_cap][:m]
+    v1 = combo[base + 2 * p_cap : base + 3 * p_cap][:m]
+    return n_hot, total, n_cand, hot, flat_idx, v0, v1
+
+
 def _combo_info(combo: np.ndarray, k_cap: int, p_cap: int) -> FusedInfo:
     n_hot, total, n_cand = int(combo[0]), int(combo[1]), int(combo[2])
     return FusedInfo(
@@ -432,14 +455,9 @@ def _combo_info(combo: np.ndarray, k_cap: int, p_cap: int) -> FusedInfo:
 
 def _parse_combo(combo, k_cap, p_cap, tile_elems, grid_offset):
     """Decode one fused result buffer → (offsets, values)."""
-    n_cand = int(combo[2])
+    _, _, n_cand, hot, flat_idx, v0, v1 = combo_fields(combo, k_cap, p_cap)
     if n_cand == 0:
         return _EMPTY
-    hot = combo[3 : 3 + k_cap].astype(np.int64)
-    base = 3 + 2 * k_cap
-    flat_idx = combo[base : base + p_cap][:n_cand].astype(np.int64)
-    v0 = combo[base + p_cap : base + 2 * p_cap][:n_cand]
-    v1 = combo[base + 2 * p_cap : base + 3 * p_cap][:n_cand]
     slot, rel = flat_idx // tile_elems, flat_idx % tile_elems
     offsets = hot[slot] * tile_elems + rel + grid_offset
     values = np.stack([v0, v1], axis=1).astype(np.int64)

@@ -482,17 +482,15 @@ def parse_sharded_combos(
             counts,
         )
 
+    from ..dense import combo_fields
+
     all_offs, all_vals = [], []
-    base3 = 3 + 2 * k_cap
     for dev in range(d):
-        m = int(n_cand[dev])
-        if m == 0:
+        if int(n_cand[dev]) == 0:
             continue
-        row = combos[dev]
-        hot = row[3 : 3 + k_cap].astype(np.int64)
-        flat_idx = row[base3 : base3 + p_cap][:m].astype(np.int64)
-        v0 = row[base3 + p_cap : base3 + 2 * p_cap][:m]
-        v1 = row[base3 + 2 * p_cap : base3 + 3 * p_cap][:m]
+        _, _, _, hot, flat_idx, v0, v1 = combo_fields(
+            combos[dev], k_cap, p_cap
+        )
         slot, rel = flat_idx // tile_elems, flat_idx % tile_elems
         offs = (hot[slot] + dev * t_loc) * tile_elems + rel + grid_offset
         all_offs.append(offs)
