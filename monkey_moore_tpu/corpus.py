@@ -53,6 +53,8 @@ class ResidentCorpus:
         words = padded.view("<u4").view(np.int32)  # zero-copy host view
         self.device_words = jax.device_put(jnp.asarray(words))
         jax.block_until_ready(self.device_words)
+        #: True until the first engine run accounts the upload in its stats
+        self.fresh = True
 
     def __len__(self):
         """Byte capacity of the device buffer."""

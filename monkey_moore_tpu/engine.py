@@ -437,6 +437,9 @@ class SearchEngine:
                     cfg.resident_bytes_limit,
                     pad_bytes=(tiles_per_chunk + 1) * tile_elems * s + s,
                 )
+            if resident is not None and getattr(resident, "fresh", False):
+                timer.stats.h2d_bytes += len(resident)
+                resident.fresh = False
 
         # (byte_offset, element_offset_in_grid, align, values) per candidate
         per_group: dict = {}

@@ -96,10 +96,22 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
+    import os
+
     if args.cpu:
+        if "xla_force_host_platform_device_count" not in os.environ.get(
+            "XLA_FLAGS", ""
+        ):
+            # virtual devices so the gate can fuzz the MESH route too
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8"
+            ).strip()
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
 
     from monkey_moore_tpu.config import (
         Endianness,
@@ -219,11 +231,17 @@ def main():
                     preferred_search_block_size=block,
                     device_chunk_bytes=chunk,
                     semantics=semantics,
-                    # fuzz BOTH engine routes: even trials take the host
-                    # latency path (the default for these file sizes), odd
-                    # trials force the chunked device scan
+                    # fuzz ALL THREE engine routes: t%3==0 the host
+                    # latency path (the default for these file sizes),
+                    # t%3==1 the forced device scan, t%3==2 the mesh path
+                    # over a random virtual-device count
                     host_latency_threshold_bytes=(
-                        1 << 40 if t % 2 == 0 else 0
+                        1 << 40 if t % 3 == 0 else 0
+                    ),
+                    devices=(
+                        list(jax.devices()[: int(rng.choice([2, 4, 8]))])
+                        if t % 3 == 2 and len(jax.devices()) >= 2
+                        else None
                     ),
                 )
 
