@@ -499,6 +499,109 @@ def swar_host_view(arr: np.ndarray) -> np.ndarray:
     return arr.reshape(-1).view("<i4")
 
 
+def _swar_constants(width: int):
+    """(H, LOW, ONES) SWAR bit masks for the element width."""
+    if width == 1:
+        return 0x80808080, 0x7F7F7F7F, 0x01010101
+    return 0x80008000, 0x7FFF7FFF, 0x00010001
+
+
+def _swar_helpers(width: int, lanes32: int):
+    """Shared building blocks of the single- and multi-pattern SWAR count
+    kernels (they MUST stay bit-identical across both):
+
+    - ``ext_views(tile, nxt)`` — the full-height extended array and its
+      one-row-down view.  Load-bearing invariant: ext_down's final
+      duplicated row is junk, consumed only by window starts past
+      ``tile_rows + halo`` that the valid masking excludes.
+    - ``swar_sub(x, y)`` — carry-free elementwise subtraction mod 2^ebits
+      (Hacker's Delight); borrow never crosses the element boundary.
+    - ``make_shift(A, A_down)`` — element-shift views with lane concats
+      cached per whole-word offset.
+    - ``popcount(zz)`` — per-word population count of zero-detected
+      elements.
+    - ``boundary_mask(shape, vr)`` — per-element keep mask for the tile
+      holding the last valid window start.
+
+    Returns a zero-arg ``build()`` that MUST be called INSIDE the pallas
+    kernel body (the i32 splat constants are traced values; constructing
+    them outside the kernel would be a captured-constant error) and yields
+    ``(hH, hLOW, hONES, ext_views, swar_sub, make_shift, popcount,
+    boundary_mask)``.
+    """
+    ebits = 8 * width
+    k_per_word = 4 // width
+    H, LOW, ONES = _swar_constants(width)
+
+    def build():
+        hH, hLOW, hONES = _i32c(H), _i32c(LOW), _i32c(ONES)
+
+        def ext_views(tile, nxt):
+            ext = jnp.concatenate([tile, nxt], axis=0)
+            ext_down = jnp.concatenate([tile[1:], nxt, nxt[7:8]], axis=0)
+            return ext, ext_down
+
+        def swar_sub(x, y):
+            return ((x | hH) - (y & hLOW)) ^ ((x ^ ~y) & hH)
+
+        def make_shift(A, A_down):
+            cache = {}
+
+            def lane(q):
+                if q == 0:
+                    return A
+                if q == lanes32:
+                    return A_down
+                if q not in cache:
+                    cache[q] = jnp.concatenate(
+                        [A[:, q:], A_down[:, :q]], axis=1
+                    )
+                return cache[q]
+
+            def elem(s):
+                # view shifted by s elements = s*width bytes; crossing
+                # word boundaries: little-endian, so byte p+1 is the
+                # next-higher byte — logical right shift + next word's
+                # low bytes
+                q, r = divmod(s * width, 4)
+                lo = lane(q)
+                if r == 0:
+                    return lo
+                return jax.lax.shift_right_logical(
+                    lo, jnp.int32(8 * r)
+                ) | (lane(q + 1) << jnp.int32(32 - 8 * r))
+
+            return elem
+
+        def popcount(zz):
+            # each matching element contributes 1 at its low bit after
+            # the shift; multiply-accumulate sums element lanes into the
+            # top one
+            ones = jax.lax.shift_right_logical(
+                zz, jnp.int32(ebits - 1)
+            ) & hONES
+            return jax.lax.shift_right_logical(
+                ones * hONES, jnp.int32(32 - ebits)
+            )
+
+        def boundary_mask(shape, vr):
+            r_ = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            c_ = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            pos0 = (r_ * lanes32 + c_) * k_per_word
+            top = 0x80 if width == 1 else 0x8000
+            vm = None
+            for j in range(k_per_word):
+                bit = _i32c(top << (ebits * j))
+                keep = jnp.where(pos0 + j <= vr, bit, 0)
+                vm = keep if vm is None else vm | keep
+            return vm
+
+        return (hH, hLOW, hONES, ext_views, swar_sub, make_shift,
+                popcount, boundary_mask)
+
+    return build
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -564,10 +667,6 @@ def _tile_counts_swar_call(
         num_tiles = (rows - fine_rows) // tile_rows
     k_per_word = 4 // width  # elements per i32 word
     ebits = 8 * width
-    if width == 1:
-        H, LOW, ONES = 0x80808080, 0x7F7F7F7F, 0x01010101
-    else:
-        H, LOW, ONES = 0x80008000, 0x7FFF7FFF, 0x00010001
 
     # group checks by bridge distance so the SWAR subtraction runs once per
     # distinct distance (see docstring); plain keywords have one group
@@ -575,11 +674,14 @@ def _tile_counts_swar_call(
     for k, (cs, ps) in enumerate(pairs):
         groups.setdefault(cs - ps, []).append((k, ps))
 
+    swar_build = _swar_helpers(width, lanes32)
+
     def kernel(expected_ref, valid_ref, tile_ref, next_ref, out_ref):
         i = pl.program_id(0)
         tile = tile_ref[:]
         nxt = next_ref[:]  # (8, lanes32) halo rows past the tile
-        hH, hLOW, hONES = _i32c(H), _i32c(LOW), _i32c(ONES)
+        (hH, hLOW, hONES, ext_views, swar_sub, make_shift, popcount,
+         boundary_mask) = swar_build()
 
         # Full-height extended arrays: Mosaic rejects lane-dim concats of
         # 1-row slices with offset layouts ("result/input offset mismatch on
@@ -587,48 +689,7 @@ def _tile_counts_swar_call(
         # sublane extent — compute runs on tile_rows+8 rows and the halo
         # rows are sliced off the accumulator before counting.  The extra
         # 8 rows cost <1% FLOPs at tile_rows >= 1024.
-        ext = jnp.concatenate([tile, nxt], axis=0)
-        # row r+1 view of ext; the final (duplicated) row is junk, consumed
-        # only by rows past tile_rows+5 which are sliced away
-        ext_down = jnp.concatenate([tile[1:], nxt, nxt[7:8]], axis=0)
-
-        def swar_sub(x, y):
-            # carry-free elementwise subtraction mod 2^ebits (Hacker's
-            # Delight): borrow never crosses the per-element boundary
-            return ((x | hH) - (y & hLOW)) ^ ((x ^ ~y) & hH)
-
-        def make_shift(A, A_down):
-            """Element-shift views of a full-height (tile_rows+8, lanes32)
-            array A, given its one-row-down view A_down.  Lane concats are
-            cached per whole-word offset q."""
-            cache = {}
-
-            def lane(q):
-                if q == 0:
-                    return A
-                if q == lanes32:
-                    return A_down
-                if q not in cache:
-                    cache[q] = jnp.concatenate(
-                        [A[:, q:], A_down[:, :q]], axis=1
-                    )
-                return cache[q]
-
-            def elem(s):
-                # view shifted by s elements = s*width bytes
-                q, r = divmod(s * width, 4)
-                lo = lane(q)
-                if r == 0:
-                    return lo
-                # crossing word boundaries: little-endian, so byte p+1 is
-                # the next-higher byte — logical right shift + next word's
-                # low bytes
-                return jax.lax.shift_right_logical(lo, jnp.int32(8 * r)) | (
-                    lane(q + 1) << jnp.int32(32 - 8 * r)
-                )
-
-            return elem
-
+        ext, ext_down = ext_views(tile, nxt)
         ext_shift = make_shift(ext, ext_down)
 
         def write_cnt(cnt):
@@ -732,33 +793,11 @@ def _tile_counts_swar_call(
         t = (acc & hLOW) + hLOW
         z = ~(t | acc | hLOW)
 
-        def popcount_write(zz):
-            # per-word population count of matching elements (each element
-            # contributes 1 at its low bit after the shift; multiply-
-            # accumulate sums the element lanes into the top element)
-            ones = jax.lax.shift_right_logical(
-                zz, jnp.int32(ebits - 1)
-            ) & hONES
-            write_cnt(
-                jax.lax.shift_right_logical(
-                    ones * hONES, jnp.int32(32 - ebits)
-                )
-            )
-
-        popcount_write(z)
+        write_cnt(popcount(z))
 
         @pl.when(i == vt)
         def _boundary():
-            r_ = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
-            c_ = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
-            pos0 = (r_ * lanes32 + c_) * k_per_word
-            top = 0x80 if width == 1 else 0x8000
-            vm = None
-            for j in range(k_per_word):
-                bit = _i32c(top << (ebits * j))
-                keep = jnp.where(pos0 + j <= vr, bit, 0)
-                vm = keep if vm is None else vm | keep
-            popcount_write(z & vm)
+            write_cnt(popcount(z & boundary_mask(tile.shape, vr)))
 
         @pl.when(i > vt)
         def _past():
@@ -839,54 +878,19 @@ def _tile_counts_swar_multi_call(
         num_tiles = (rows - fine_rows) // tile_rows
     k_per_word = 4 // width
     ebits = 8 * width
-    if width == 1:
-        H, LOW, ONES = 0x80808080, 0x7F7F7F7F, 0x01010101
-    else:
-        H, LOW, ONES = 0x80008000, 0x7FFF7FFF, 0x00010001
+    swar_build = _swar_helpers(width, lanes32)
 
     def kernel(expected_ref, active_ref, valid_ref, tile_ref, next_ref,
                *out_refs):
         i = pl.program_id(0)
         tile = tile_ref[:]
         nxt = next_ref[:]
-        hH, hLOW, hONES = _i32c(H), _i32c(LOW), _i32c(ONES)
+        (hH, hLOW, hONES, ext_views, swar_sub, make_shift, popcount,
+         boundary_mask) = swar_build()
 
-        ext = jnp.concatenate([tile, nxt], axis=0)
-        # same load-bearing invariant as the single-pattern kernel (see
-        # _tile_counts_swar_call): ext_down's final duplicated row is junk,
-        # consumed only by window starts past tile_rows + halo that the
-        # valid masking excludes — any halo-row change must be mirrored in
-        # BOTH kernels
-        ext_down = jnp.concatenate([tile[1:], nxt, nxt[7:8]], axis=0)
-
-        def swar_sub(x, y):
-            return ((x | hH) - (y & hLOW)) ^ ((x ^ ~y) & hH)
-
-        def make_shift(A, A_down):
-            cache = {}
-
-            def lane(q):
-                if q == 0:
-                    return A
-                if q == lanes32:
-                    return A_down
-                if q not in cache:
-                    cache[q] = jnp.concatenate(
-                        [A[:, q:], A_down[:, :q]], axis=1
-                    )
-                return cache[q]
-
-            def elem(s):
-                q, r = divmod(s * width, 4)
-                lo = lane(q)
-                if r == 0:
-                    return lo
-                return jax.lax.shift_right_logical(lo, jnp.int32(8 * r)) | (
-                    lane(q + 1) << jnp.int32(32 - 8 * r)
-                )
-
-            return elem
-
+        # shared building blocks with the single-pattern kernel — see
+        # _swar_helpers for the load-bearing ext_down junk-row invariant
+        ext, ext_down = ext_views(tile, nxt)
         ext_shift = make_shift(ext, ext_down)
 
         # diff arrays + their shift closures, shared ACROSS patterns by
@@ -906,14 +910,6 @@ def _tile_counts_swar_multi_call(
                     D, jnp.concatenate([D[1:], D[-1:]], axis=0)
                 )
             return scache[d]
-
-        def popcount(zz):
-            ones = jax.lax.shift_right_logical(
-                zz, jnp.int32(ebits - 1)
-            ) & hONES
-            return jax.lax.shift_right_logical(
-                ones * hONES, jnp.int32(32 - ebits)
-            )
 
         rows_per_fine = tile_rows // fine_per_block
         rr = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -952,16 +948,7 @@ def _tile_counts_swar_multi_call(
 
             @pl.when(i == vt)
             def _boundary(z=z, vr=vr, write=write):
-                r_ = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
-                c_ = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
-                pos0 = (r_ * lanes32 + c_) * k_per_word
-                top = 0x80 if width == 1 else 0x8000
-                vm = None
-                for j in range(k_per_word):
-                    bit = _i32c(top << (ebits * j))
-                    keep = jnp.where(pos0 + j <= vr, bit, 0)
-                    vm = keep if vm is None else vm | keep
-                write(z & vm)
+                write(z & boundary_mask(tile.shape, vr))
 
             @pl.when(i > vt)
             def _past(out_ref=out_refs[k]):
