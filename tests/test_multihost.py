@@ -49,6 +49,11 @@ if mode == "stream":
     # force the streaming fused path (no resident corpus) on every host
     cfg.resident_bytes_limit = 0
     cfg.host_latency_threshold_bytes = 0
+if mode == "mesh":
+    # the full pod shape: each host scans its byte range over its OWN
+    # local-device mesh (shard_map within the host, DCN gather across)
+    cfg.devices = jax.local_devices()
+    cfg.host_latency_threshold_bytes = 0
 if mode == "abort":
     # the abort flag must be raised on EVERY host (the final gather is a
     # collective); tripping it at the first progress callback aborts each
@@ -94,6 +99,12 @@ def _run_pod(tmp_path, path, n_proc, semantics, mode="normal"):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER_SRC)
     env = _clean_env()
+    if mode == "mesh":
+        # 4 virtual devices per worker process (host-local mesh)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=4"
+        ).strip()
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(REPO), coord, str(pid),
@@ -181,6 +192,24 @@ def test_two_process_streaming_path(tmp_path, rng):
     path.write_bytes(data.tobytes())
 
     outs = _run_pod(tmp_path, path, 2, "GREEDY", mode="stream")
+    assert outs[0] == outs[1]
+    assert outs[0] == _single_host_expect(path, "GREEDY")
+    assert [o for o, _ in outs[0]] == [5, 29_997, 45_000, 59_994]
+
+
+def test_two_process_mesh_per_host(tmp_path, rng):
+    """The full pod shape: 2 hosts × a 4-virtual-device mesh per host.
+    Each host shards its owned chunks across its local mesh (shard_map +
+    ppermute halo within the host) and candidates gather over the
+    process collective — identical global list on every host."""
+    data = rng.integers(0, 256, 60_000).astype(np.uint8)
+    enc = np.array([ord(c) + 9 for c in "monkey"], dtype=np.uint8)
+    for pos in (5, 29_997, 45_000, 59_994):
+        data[pos : pos + 6] = enc
+    path = tmp_path / "podmesh.bin"
+    path.write_bytes(data.tobytes())
+
+    outs = _run_pod(tmp_path, path, 2, "GREEDY", mode="mesh")
     assert outs[0] == outs[1]
     assert outs[0] == _single_host_expect(path, "GREEDY")
     assert [o for o, _ in outs[0]] == [5, 29_997, 45_000, 59_994]
