@@ -38,7 +38,6 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .config import (
-    Endianness,
     MatchSemantics,
     ProgressCallback,
     SearchConfig,
@@ -127,6 +126,8 @@ def _host_pool(n_threads: int):
     import concurrent.futures
 
     if _HOST_POOL[0] is None or _HOST_POOL[1] < n_threads:
+        if _HOST_POOL[0] is not None:
+            _HOST_POOL[0].shutdown(wait=False)  # don't leak old workers
         _HOST_POOL[0] = concurrent.futures.ThreadPoolExecutor(
             max_workers=n_threads
         )
@@ -259,11 +260,24 @@ class SearchEngine:
         else:
             data = np.zeros(0, dtype=np.uint8)
 
+        from .dense import TILE_ELEMS as _TILE_ELEMS
+
+        # patterns longer than one count tile cannot ride the dense device
+        # paths (chunk arrays carry exactly one halo tile; a longer window
+        # would silently read padding — no-false-negatives invariant), so
+        # they always scan on the host, which handles any length exactly
+        huge_pattern = pat.length > _TILE_ELEMS
         use_host = (
             cfg.semantics is not MatchSemantics.REFERENCE
-            and gather is None
-            and cfg.devices is None
-            and 0 < file_size <= cfg.host_latency_threshold_bytes
+            and file_size > 0
+            and (
+                huge_pattern
+                or (
+                    gather is None
+                    and cfg.devices is None
+                    and file_size <= cfg.host_latency_threshold_bytes
+                )
+            )
         )
         with device_trace():
             if cfg.semantics is MatchSemantics.REFERENCE:
@@ -273,7 +287,8 @@ class SearchEngine:
                 )
             elif use_host:
                 raw = self._scan_host(
-                    pat, data, file_size, blocks, progress, aborted, timer
+                    pat, data, file_size, blocks, progress, aborted, timer,
+                    own_bytes=own_bytes, gather=gather,
                 )
             else:
                 raw = self._scan_dense(
@@ -425,9 +440,11 @@ class SearchEngine:
                     )
 
         # Resident corpus: upload once, derive element grids on device;
-        # chunks then cost no host→device transfer at all.
+        # chunks then cost no host→device transfer at all.  Multi-host
+        # (own_bytes) streams instead — residency would upload the WHOLE
+        # corpus to every host when each scans only ~1/N of it.
         resident = None
-        if file_size and mesh is None:
+        if file_size and mesh is None and own_bytes is None:
             from .corpus import get_resident_corpus
 
             with timer.stage("corpus_upload"):
@@ -470,7 +487,6 @@ class SearchEngine:
             if not hot_here:
                 return
             timer.stats.hot_tiles += hot_here
-            timer.stats.candidates += len(offs)
             # chunk scans only own starts within [0, chunk_elems)
             keep = offs < chunk_elems
             offs, vals = offs[keep], vals[keep]
@@ -481,6 +497,7 @@ class SearchEngine:
                     own_bytes[0] <= byte_off < own_bytes[1]
                 ):
                     continue
+                timer.stats.candidates += 1
                 block_id = byte_off // base
                 per_group.setdefault((block_id, a), []).append(e_global)
                 candidate_info[(a, e_global)] = (byte_off, val)
@@ -560,6 +577,7 @@ class SearchEngine:
 
                     with timer.stage("decode"):
                         arr = self._decode_grid(data, a, e0, count_here)
+                    timer.stats.h2d_bytes += arr.nbytes  # per-chunk upload
                     with timer.stage("device_scan"):
                         res_offs, res_vals, finfo, over = sharded_fused_step(
                             pat, arr, mesh, count_here, tile_elems,
@@ -773,7 +791,7 @@ class SearchEngine:
 
     # ------------------------------------------------------------------
     def _scan_host(self, pat, data, file_size, blocks, progress, aborted,
-                   timer):
+                   timer, own_bytes=None, gather=None):
         """Small-input latency path: dense scan on the HOST, no device.
 
         The reference's whole benchmark range is 128 KiB-16 MiB
@@ -840,10 +858,14 @@ class SearchEngine:
             # slices own starts within [0, slice_elems)
             keep = offs < slice_elems
             offs, vals = offs[keep], vals[keep]
-            timer.stats.candidates += len(offs)
             for off, val in zip(offs.tolist(), vals.tolist()):
                 e_global = e0 + off
                 byte_off = a + e_global * s
+                if own_bytes is not None and not (
+                    own_bytes[0] <= byte_off < own_bytes[1]
+                ):
+                    continue
+                timer.stats.candidates += 1
                 block_id = byte_off // base
                 per_group.setdefault((block_id, a), []).append(e_global)
                 candidate_info[(a, e_global)] = (byte_off, val)
@@ -896,13 +918,18 @@ class SearchEngine:
             finally:
                 for fut in futs:
                     fut.cancel()
-            timer.stats.stage_seconds["host_scan"] = (
-                timer.stats.stage_seconds.get("host_scan", 0.0)
-                + _time.perf_counter()
-                - t0
-            )
+                # stage timing must record on the abort path too
+                timer.stats.stage_seconds["host_scan"] = (
+                    timer.stats.stage_seconds.get("host_scan", 0.0)
+                    + _time.perf_counter()
+                    - t0
+                )
             if not tracker.finish():
                 return None
+            if gather is not None:
+                per_group, candidate_info = _gathered_groups(
+                    gather, candidate_info, s, base, timer
+                )
             return finalize_candidates(
                 pat, cfg.semantics, s, base, file_size, per_group,
                 candidate_info,
@@ -930,6 +957,10 @@ class SearchEngine:
                 return None
         if not tracker.finish():
             return None
+        if gather is not None:
+            per_group, candidate_info = _gathered_groups(
+                gather, candidate_info, s, base, timer
+            )
         return finalize_candidates(
             pat, cfg.semantics, s, base, file_size, per_group, candidate_info
         )

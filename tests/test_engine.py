@@ -728,3 +728,33 @@ class TestStreamingFusedPath:
         st = stream_eng.last_stats
         assert st.fused_steps >= 4  # the fused pipeline ran
         assert st.h2d_bytes > 0  # streamed chunks were uploaded
+
+
+class TestHugePattern:
+    """Patterns longer than one count tile (> dense.TILE_ELEMS elements)
+    cannot ride the dense device paths (chunk arrays carry exactly one
+    halo tile); the engine must route them to the host scanner, which is
+    exact at any length."""
+
+    def test_value_scan_longer_than_tile(self, tmp_path):
+        from monkey_moore_tpu.dense import TILE_ELEMS
+
+        L = TILE_ELEMS + 7
+        # sawtooth with no uint8 wrap after the +11 shift, so the planted
+        # copy has identical SIGNED adjacent diffs (value-scan semantics)
+        vals = (np.arange(L) % 200).astype(np.int64)
+        data = np.zeros(L + 500, dtype=np.uint8)
+        data[100 : 100 + L] = (vals + 11).astype(np.uint8)
+        path = write_file(tmp_path, data)
+        cfg = SearchConfig(
+            file_path=path,
+            is_relative_search=False,
+            reference_values=vals.tolist(),
+            host_latency_threshold_bytes=0,  # would force device — the
+            # huge-pattern guard must override and stay on the host
+        )
+        eng = SearchEngine(cfg)
+        results = eng.run()
+        assert [r.offset for r in results] == [100]
+        assert eng.last_stats.host_routed
+        assert eng.last_stats.device_dispatches == 0
