@@ -25,6 +25,7 @@ A process-wide cache holds the most recent corpus, keyed by
 from __future__ import annotations
 
 import functools
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -35,6 +36,7 @@ from .config import Endianness
 __all__ = ["ResidentCorpus", "get_resident_corpus", "clear_corpus_cache"]
 
 _cache: dict = {}
+_cache_lock = threading.Lock()
 
 
 class ResidentCorpus:
@@ -141,18 +143,22 @@ def get_resident_corpus(
     except OSError:
         return None
     key = (str(p.resolve()), stat.st_size, stat.st_mtime_ns)
-    hit = _cache.get(key)
-    if hit is not None and len(hit) >= file_size + pad_bytes:
-        return hit
-    try:
-        data = np.fromfile(p, dtype=np.uint8)
-        corpus = ResidentCorpus(data, pad_bytes)
-    except Exception:
-        return None
-    _cache.clear()
-    _cache[key] = corpus
-    return corpus
+    # miss-check + build under the lock: concurrent searches must not
+    # double-upload a multi-GiB corpus
+    with _cache_lock:
+        hit = _cache.get(key)
+        if hit is not None and len(hit) >= file_size + pad_bytes:
+            return hit
+        try:
+            data = np.fromfile(p, dtype=np.uint8)
+            corpus = ResidentCorpus(data, pad_bytes)
+        except Exception:
+            return None
+        _cache.clear()
+        _cache[key] = corpus
+        return corpus
 
 
 def clear_corpus_cache() -> None:
-    _cache.clear()
+    with _cache_lock:
+        _cache.clear()

@@ -202,6 +202,19 @@ def auto_k_cap(
     return k_cap
 
 
+def _gather_fallback_bytes(pat: CompiledPattern, n_hot: int,
+                           tile_elems: int) -> int:
+    """Approximate D2H bytes of :func:`extract_hot_tiles_device`'s batched
+    fetch: ``n_hot`` padded to a power of two, one tile+halo span per slot
+    — the dominant transfer of the degraded (overflow/all-wildcard)
+    steps, so the d2h stat must include it."""
+    if n_hot <= 0:
+        return 0
+    n_pad = 1 << (n_hot - 1).bit_length()
+    span = tile_elems + pat.length - 1
+    return n_pad * span * np.dtype(pat.dtype).itemsize
+
+
 class FusedInfo(NamedTuple):
     """Stats sidecar of :func:`fused_count_extract` (device-computed)."""
 
@@ -276,7 +289,10 @@ def fused_count_extract_start(
         )
         info = FusedInfo(
             int((counts > 0).sum()), int(counts.sum()),
-            candidates=len(offs), fallback=True, d2h_bytes=counts.nbytes,
+            candidates=len(offs), fallback=True,
+            d2h_bytes=counts.nbytes + _gather_fallback_bytes(
+                pat, int((counts > 0).sum()), tile_elems
+            ),
         )
         return FusedPending(
             None, None, pat, arr_device, valid_count, tile_elems,
@@ -314,17 +330,27 @@ def fused_count_extract_start(
             if getattr(arr_device, "ndim", 1) == 2
             else arr_device
         )
-        from .ops.scan_jnp import pattern_device_args
+        from .ops.scan_jnp import pattern_device_args, pattern_operand_cache
 
         _, _, exp_exact, recovery = pattern_device_args(pat)
-        vtvr = jnp.asarray(
-            [valid_count // tile_elems, valid_count % tile_elems],
-            dtype=jnp.int32,
-        )
+        # memoized device copies of the per-step operands (each small
+        # upload is a relay round trip — same rationale as the Pallas
+        # path's swar_dispatch_args memo)
+        cache = pattern_operand_cache(pat)
+        okey = ("xla_step", valid_count, tile_elems)
+        if okey in cache:
+            exp_sel_dev, vtvr = cache[okey]
+        else:
+            exp_sel_dev = jnp.asarray(exp_sel)
+            vtvr = jnp.asarray(
+                [valid_count // tile_elems, valid_count % tile_elems],
+                dtype=jnp.int32,
+            )
+            cache[okey] = (exp_sel_dev, vtvr)
         counts_dev, combo_dev = tile_counts_gather_xla(
             flat,
             jnp.int32(valid_count),
-            jnp.asarray(exp_sel),
+            exp_sel_dev,
             vtvr,
             exp_exact,
             recovery,
@@ -371,7 +397,11 @@ def fused_count_extract_finish(
         )
         info = info._replace(
             candidates=len(offs),
-            d2h_bytes=info.d2h_bytes + counts_np.nbytes,
+            d2h_bytes=info.d2h_bytes + counts_np.nbytes
+            + _gather_fallback_bytes(
+                pending.pat, int((counts_np > 0).sum()),
+                pending.tile_elems,
+            ),
         )
         return offs, vals, info
     offsets, values = _parse_combo(
@@ -662,7 +692,10 @@ def fused_count_extract_multi(
             )
             info = info._replace(
                 candidates=len(offs),
-                d2h_bytes=info.d2h_bytes + counts_np.nbytes,
+                d2h_bytes=info.d2h_bytes + counts_np.nbytes
+                + _gather_fallback_bytes(
+                    p, int((counts_np > 0).sum()), tile_elems
+                ),
             )
             out.append((offs, vals, info))
         else:

@@ -434,10 +434,28 @@ class SearchEngine:
                         cfg.resident_bytes_limit,
                     )
                 if corpus is not None:
-                    return self._scan_mesh_resident(
-                        pat, data, file_size, blocks, progress, aborted,
-                        timer, corpus, mesh,
+                    # the XLA body's flat int32 valid encoding wraps on
+                    # shards past 2^31 elements (silent false negatives);
+                    # such corpora take the chunked path below, whose
+                    # per-chunk element counts are small
+                    from .dense import _prefilter_sel
+                    from .parallel.sharded import _fused_mode
+
+                    pairs_m, _, max_shift_m = _prefilter_sel(pat)
+                    mode_m = _fused_mode(
+                        cfg.use_pallas, False, corpus.tile_elems,
+                        max_shift_m,
                     )
+                    if not pairs_m:
+                        mode_m = "xla"  # matches _scan_mesh_resident
+                    shard_elems = (
+                        (corpus.t_loc(s) + 1) * corpus.tile_elems
+                    )
+                    if mode_m != "xla" or shard_elems < 2**31:
+                        return self._scan_mesh_resident(
+                            pat, data, file_size, blocks, progress,
+                            aborted, timer, corpus, mesh,
+                        )
 
         # Resident corpus: upload once, derive element grids on device;
         # chunks then cost no host→device transfer at all.  Multi-host

@@ -19,6 +19,7 @@ memoized as device arrays so a repeat search's H2D traffic is zero.
 
 from __future__ import annotations
 
+import functools
 import threading
 from pathlib import Path
 from typing import Optional
@@ -142,6 +143,7 @@ class ShardedResidentCorpus:
         return out[1:]
 
 
+@functools.lru_cache(maxsize=64)
 def _derive_grid_fn(mesh, s: int, big: bool, align: int, packed: bool,
                     words_per_device: int):
     """Jitted SPMD grid derivation: local word shard → local grid shard.
@@ -153,8 +155,6 @@ def _derive_grid_fn(mesh, s: int, big: bool, align: int, packed: bool,
     ``ppermute`` (wrapping at the last device, where padding masks it).
     All reshaping/packing is word arithmetic on device; no host transfer.
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
 
@@ -215,19 +215,21 @@ def get_sharded_corpus(
         str(p.resolve()), stat.st_size, stat.st_mtime_ns,
         tuple(d.id for d in mesh.devices.flat), tile_elems,
     )
+    # the whole miss-check + build runs under the lock: two concurrent
+    # searches must not double-upload a multi-GiB corpus (transient 2x
+    # HBM residency during the upload window)
     with _cache_lock:
         hit = _cache.get(key)
-    if hit is not None:
-        return hit
-    try:
-        data = np.fromfile(p, dtype=np.uint8)
-        corpus = ShardedResidentCorpus(data, mesh, tile_elems)
-    except Exception:
-        return None
-    with _cache_lock:
+        if hit is not None:
+            return hit
+        try:
+            data = np.fromfile(p, dtype=np.uint8)
+            corpus = ShardedResidentCorpus(data, mesh, tile_elems)
+        except Exception:
+            return None
         _cache.clear()
         _cache[key] = corpus
-    return corpus
+        return corpus
 
 
 def clear_sharded_corpus_cache() -> None:

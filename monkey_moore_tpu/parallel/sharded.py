@@ -185,6 +185,11 @@ def sharded_tile_counts(
     from jax.sharding import NamedSharding
 
     bases = np.arange(d, dtype=np.int64) * shard
+    if shard + tile_elems >= 2**31:
+        raise ValueError(
+            "per-device shard exceeds 2^31 elements (int32 valid encoding "
+            "would wrap and undercount); use smaller chunks"
+        )
     valid_local = np.clip(
         valid_count - bases, 0, shard + tile_elems
     ).astype(np.int32)
@@ -344,6 +349,15 @@ def sharded_step_operands(
 
     wc_run = None
     if mode == "xla":
+        # the XLA body masks windows with a flat int32 element count —
+        # shards past 2^31 elements would WRAP and silently mask valid
+        # windows (false negatives); callers must keep XLA-mode shards
+        # under the bound (engine falls back to the chunked path)
+        if int(valid_loc.max(initial=0)) >= 2**31:
+            raise ValueError(
+                "XLA-mode shard exceeds 2^31 elements; use smaller chunks "
+                "or the SWAR path"
+            )
         valid2 = valid_loc.astype(np.int32)[:, None]
         expected_in = jnp.asarray(exp_sel)
     else:
@@ -482,19 +496,20 @@ def parse_sharded_combos(
             counts,
         )
 
-    from ..dense import combo_fields
+    from ..dense import _parse_combo
 
     all_offs, all_vals = [], []
     for dev in range(d):
         if int(n_cand[dev]) == 0:
             continue
-        _, _, _, hot, flat_idx, v0, v1 = combo_fields(
-            combos[dev], k_cap, p_cap
+        # the shared decoder with the device's global tile base folded
+        # into grid_offset
+        offs, vals = _parse_combo(
+            combos[dev], k_cap, p_cap, tile_elems,
+            grid_offset + dev * t_loc * tile_elems,
         )
-        slot, rel = flat_idx // tile_elems, flat_idx % tile_elems
-        offs = (hot[slot] + dev * t_loc) * tile_elems + rel + grid_offset
         all_offs.append(offs)
-        all_vals.append(np.stack([v0, v1], axis=1).astype(np.int64))
+        all_vals.append(vals)
     if not all_offs:
         return (
             np.zeros(0, dtype=np.int64),
@@ -694,6 +709,11 @@ def sharded_candidates(
     """
     data = np.ascontiguousarray(data, dtype=pat.dtype)
     n = len(data)
+    if n >= 2**31:
+        raise ValueError(
+            "sharded_candidates is int32-indexed (< 2^31 elements); use "
+            "the engine's chunked paths for larger inputs"
+        )
     if n < pat.length:
         return np.zeros(0, dtype=np.int64), np.zeros((0, 2), dtype=np.int64)
     d = len(mesh.devices)
