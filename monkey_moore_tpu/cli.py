@@ -240,8 +240,11 @@ def _run_search(args, cfg: SearchConfig):
         print("\n" + _("aborted"), file=sys.stderr)
         return []
     except FileNotFoundError:
-        print(f"error: unable to open {cfg.file_path}: file not found.",
-              file=sys.stderr)
+        print(
+            "error: "
+            + _("unable to open {}: file not found.").format(cfg.file_path),
+            file=sys.stderr,
+        )
         raise SystemExit(1)
     except ValueError as e:  # PatternError subclasses ValueError
         print(f"error: {e}", file=sys.stderr)
@@ -295,7 +298,8 @@ def main(argv=None) -> int:
             )
             all_results = ms.search(specs, generate_previews=args.previews)
         except FileNotFoundError:
-            print(f"error: unable to open {args.file}: file not found.",
+            print("error: " + _("unable to open {}: file not found.")
+                  .format(args.file),
                   file=sys.stderr)
             return 1
         for kw, results in zip(args.keywords, all_results):
@@ -319,7 +323,10 @@ def main(argv=None) -> int:
         cfg = _make_config(args, keyword=args.keyword, seq=seq)
         results = _run_search(args, cfg)
         if not results:
-            print("error: no results to create a table from.", file=sys.stderr)
+            print(
+                "error: " + _("no results to create a table from."),
+                file=sys.stderr,
+            )
             return 1
         if not (0 <= args.match < len(results)):
             print(f"error: match index out of range (0..{len(results)-1})",

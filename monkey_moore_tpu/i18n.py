@@ -59,6 +59,13 @@ _PT_BR: Dict[str, str] = {
     "result(s)": "resultado(s)",
     "aborted": "abortado",
     "Table saved successfully.": "Tabela salva com sucesso.",
+    # strings added by this framework (no upstream-catalog counterpart)
+    "unable to open {}: file not found.":
+        "não foi possível abrir {}: arquivo não encontrado.",
+    "no results to create a table from.":
+        "nenhum resultado para criar uma tabela.",
+    "no file open (use: open FILE)":
+        "nenhum arquivo aberto (use: open ARQUIVO)",
 }
 
 CATALOGS: Dict[str, Dict[str, str]] = {"pt_br": _PT_BR, "pt": _PT_BR}

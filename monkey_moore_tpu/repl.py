@@ -285,7 +285,7 @@ class Repl:
 
     def _require_file(self) -> bool:
         if self.file is None:
-            self._say("no file open (use: open FILE)")
+            self._say(_("no file open (use: open FILE)"))
             return False
         return True
 
