@@ -223,6 +223,10 @@ class FusedInfo(NamedTuple):
     candidates: int = 0  #: exact candidates extracted this step
     fallback: bool = False  #: capacity overflow → counts fetch + batched gather
     d2h_bytes: int = 0  #: bytes this step shipped device→host
+    #: per-shard exact candidate counts (mesh paths only; None on the
+    #: single-device paths) — the load-balance evidence the scaling harness
+    #: reports
+    per_device: tuple = None
 
 
 class FusedPending(NamedTuple):

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -112,6 +112,28 @@ def finalize_candidates(
             byte_off, val = candidate_info[(a, e)]
             results.append((byte_off, recover_from_values(pat, val)))
     return results
+
+
+class _MeshInFlight(NamedTuple):
+    """A collective fused step kept in flight by the chunked mesh path:
+    the sharded pending buffers plus the decoded chunk retained for the
+    overflow host-extraction fallback."""
+
+    pending: object  #: parallel.sharded.ShardedPending
+    arr: object  #: decoded host chunk (fallback extraction input)
+    count: int  #: valid element count of this chunk
+
+
+def _accumulate_mesh_stats(stats, finfo, n_dev, tile_elems, width):
+    """Fold one collective dispatch's structural metrics into the run
+    stats: ICI halo volume (each device ppermutes ONE tile to its left
+    neighbor per dispatch) and per-shard exact-candidate balance."""
+    stats.ici_halo_bytes += n_dev * tile_elems * width
+    if finfo is not None and finfo.per_device is not None:
+        if stats.per_device_candidates is None:
+            stats.per_device_candidates = [0] * len(finfo.per_device)
+        for i, c in enumerate(finfo.per_device):
+            stats.per_device_candidates[i] += c
 
 
 _HOST_FILE_CACHE: dict = {}  # most recent small file's bytes (host RAM)
@@ -480,6 +502,9 @@ class SearchEngine:
         per_group: dict = {}
         candidate_info: dict = {}
 
+        mesh_n_dev = len(mesh.devices.flat) if mesh is not None else 0
+        pat_width = np.dtype(pat.dtype).itemsize
+
         n_chunks = max(1, -(-max(
             (self._element_grid(file_size, a) for a in range(s)), default=0
         ) // chunk_elems))
@@ -540,6 +565,31 @@ class SearchEngine:
             if pnd is not None:
                 in_flight[0] -= 1
                 a, e0 = meta
+                if isinstance(pnd, _MeshInFlight):
+                    # collective step: fetch the per-device result buffers
+                    # one pipeline slot late, mirroring the single-device
+                    # deferred fetch; overflow falls back to host
+                    # extraction on the retained decoded chunk
+                    from .parallel.sharded import sharded_fused_step_finish
+
+                    with timer.stage("device_scan"):
+                        offs, vals, finfo, over = sharded_fused_step_finish(
+                            pnd.pending
+                        )
+                    _accumulate_mesh_stats(
+                        timer.stats, finfo, mesh_n_dev, tile_elems,
+                        pat_width,
+                    )
+                    if over is not None:
+                        # extract_hot_tiles clamps per-tile slices to the
+                        # buffer end, so the decoded chunk passes through
+                        # unpadded
+                        with timer.stage("host_extract"):
+                            offs, vals = extract_hot_tiles(
+                                pat, pnd.arr[: pnd.count], over, tile_elems
+                            )
+                    record_step(a, e0, offs, vals, finfo, None)
+                    return True
                 with timer.stage("device_scan"):
                     offs, vals, finfo = fused_count_extract_finish(pnd)
                 record_step(a, e0, offs, vals, finfo, None)
@@ -589,29 +639,28 @@ class SearchEngine:
                     # prefilter (SWAR Pallas kernel where it legalizes) +
                     # one-ICI-hop ppermute tile halo + on-device exact
                     # phase 2; one small per-device buffer crosses D2H.
-                    # Overflow falls back to host extraction driven by the
-                    # gathered global counts.
-                    from .parallel.sharded import sharded_fused_step
+                    # The fetch is deferred (pipelined) behind later
+                    # collective dispatches, exactly like the single-device
+                    # paths; overflow falls back to host extraction on the
+                    # retained decoded chunk.
+                    from .parallel.sharded import sharded_fused_step_start
 
                     with timer.stage("decode"):
                         arr = self._decode_grid(data, a, e0, count_here)
                     timer.stats.h2d_bytes += arr.nbytes  # per-chunk upload
                     with timer.stage("device_scan"):
-                        res_offs, res_vals, finfo, over = sharded_fused_step(
+                        spnd = sharded_fused_step_start(
                             pat, arr, mesh, count_here, tile_elems,
                             use_pallas=cfg.use_pallas,
                         )
-                    if over is not None:
-                        # extract_hot_tiles clamps per-tile slices to the
-                        # buffer end, so the decoded chunk passes through
-                        # unpadded
-                        with timer.stage("host_extract"):
-                            res_offs, res_vals = extract_hot_tiles(
-                                pat, arr[:count_here], over, tile_elems
-                            )
                     timer.stats.device_dispatches += 1
                     timer.stats.bytes_scanned += count_here * s
-                    record_step(a, e0, res_offs, res_vals, finfo, None)
+                    pending.append(
+                        ((a, e0), _MeshInFlight(spnd, arr, count_here))
+                    )
+                    in_flight[0] += 1
+                    if not flush(depth):
+                        return None
                 elif resident is not None:
                     with timer.stage("device_scan"):
                         dev_arr = resident.grid_chunk(
@@ -742,6 +791,14 @@ class SearchEngine:
         per_group: dict = {}
         candidate_info: dict = {}
         tracker = _BlockProgress(len(blocks), base, progress, aborted)
+
+        # Dispatch phase: issue BOTH alignment grids' collective steps
+        # back-to-back (JAX dispatch is async) before paying any result
+        # fetch, mirroring the dual-alignment structure of
+        # ``search_engine.cpp:129-159`` without 2x the link's serialized
+        # per-transaction latency — a 16-bit search's second grid rides
+        # behind the first's fetch.
+        in_flight = []  # (a, valid_count, k_cap, p_cap, counts, combos)
         for a in range(s):
             if aborted():
                 return None
@@ -770,15 +827,26 @@ class SearchEngine:
                     dev_in, valid2_dev, vtvr2_dev, expected_in, exp_exact,
                     recovery,
                 )
-                t_total = max(1, -(-valid_count // tile_elems))
+            timer.stats.device_dispatches += 1
+            timer.stats.bytes_scanned += valid_count * s
+            in_flight.append(
+                (a, valid_count, k_cap, p_cap, counts_dev, combos_dev)
+            )
+
+        # Fetch phase: decode each grid's per-device result buffers (the
+        # blocking D2H transactions) only after every dispatch is in flight.
+        for a, valid_count, k_cap, p_cap, counts_dev, combos_dev in in_flight:
+            if aborted():
+                return None
+            t_total = max(1, -(-valid_count // tile_elems))
+            with timer.stage("device_scan"):
                 offs, vals, finfo, over = parse_sharded_combos(
                     counts_dev, combos_dev, d, t_loc, t_total, k_cap,
                     p_cap, tile_elems, 0,
                 )
-            timer.stats.device_dispatches += 1
-            timer.stats.bytes_scanned += valid_count * s
             timer.stats.fused_steps += 1
             timer.stats.d2h_bytes += finfo.d2h_bytes
+            _accumulate_mesh_stats(timer.stats, finfo, d, tile_elems, width)
             if over is not None:
                 timer.stats.fused_fallbacks += 1
                 log(

@@ -15,7 +15,7 @@ harvesting + merge, ``search_engine.cpp:83-102``).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,9 @@ __all__ = [
     "sharded_candidates",
     "sharded_tile_counts",
     "sharded_fused_step",
+    "sharded_fused_step_start",
+    "sharded_fused_step_finish",
+    "ShardedPending",
     "sharded_step_operands",
     "parse_sharded_combos",
     "shard_grid",
@@ -381,6 +384,22 @@ def sharded_step_operands(
     return valid2, vtvr2, expected_in, wc_run
 
 
+class ShardedPending(NamedTuple):
+    """An in-flight collective fused step: the sharded device result
+    buffers plus the geometry :func:`sharded_fused_step_finish` needs to
+    fetch and decode them (mesh twin of ``dense.FusedPending``)."""
+
+    counts_dev: object
+    combos_dev: object
+    d: int
+    t_loc: int
+    t_total: int
+    k_cap: int
+    p_cap: int
+    tile_elems: int
+    grid_offset: int
+
+
 def sharded_fused_step(
     pat: CompiledPattern,
     arr: np.ndarray,
@@ -404,6 +423,36 @@ def sharded_fused_step(
     ``overflow_counts`` is the global int32[T] count array (offsets/values
     empty) and the caller runs host extraction — mirroring the
     single-device fallback contract.
+    """
+    return sharded_fused_step_finish(
+        sharded_fused_step_start(
+            pat, arr, mesh, valid_count, tile_elems, k_cap=k_cap,
+            p_cap=p_cap, use_pallas=use_pallas, interpret=interpret,
+            grid_offset=grid_offset,
+        )
+    )
+
+
+def sharded_fused_step_start(
+    pat: CompiledPattern,
+    arr: np.ndarray,
+    mesh: Mesh,
+    valid_count: int,
+    tile_elems: int,
+    k_cap: int | None = None,
+    p_cap: int = 1024,
+    use_pallas: bool = True,
+    interpret: bool = False,
+    grid_offset: int = 0,
+) -> "ShardedPending":
+    """Dispatch the collective fused step WITHOUT fetching the result.
+
+    The async half of :func:`sharded_fused_step` (the mesh twin of
+    ``dense.fused_count_extract_start``): JAX dispatch is asynchronous, so
+    returning the sharded device buffers lets a chunked caller keep
+    ``pipeline_depth`` collective steps in flight and pay the link's
+    per-transaction fetch latency one step late — the same deferred-fetch
+    pipelining the single-device paths use (docs/PERF.md).
     """
     import jax
 
@@ -460,9 +509,19 @@ def sharded_fused_step(
         exp_exact,
         recovery,
     )
-    return parse_sharded_combos(
+    return ShardedPending(
         counts_dev, combos_dev, d, t_loc, t_total, k_cap, p_cap,
         tile_elems, grid_offset,
+    )
+
+
+def sharded_fused_step_finish(pending: "ShardedPending"):
+    """Fetch + decode an in-flight collective fused step (the blocking
+    half of :func:`sharded_fused_step`)."""
+    return parse_sharded_combos(
+        pending.counts_dev, pending.combos_dev, pending.d, pending.t_loc,
+        pending.t_total, pending.k_cap, pending.p_cap, pending.tile_elems,
+        pending.grid_offset,
     )
 
 
@@ -483,6 +542,7 @@ def parse_sharded_combos(
     info = FusedInfo(
         int(n_hot.sum()), int(combos[:, 1].sum()),
         candidates=int(n_cand.sum()), d2h_bytes=combos.nbytes,
+        per_device=tuple(int(c) for c in n_cand),
     )
     if (n_hot > k_cap).any() or (n_cand > p_cap).any():
         counts = np.asarray(counts_dev).reshape(-1)[:t_total]

@@ -44,6 +44,12 @@ class SearchStats:
     host_routed: bool = False
     #: host→device bytes uploaded (mesh/sharded paths)
     h2d_bytes: int = 0
+    #: bytes crossed over ICI in shard-boundary halo exchanges (mesh paths:
+    #: one tile ppermuted per device per collective dispatch)
+    ici_halo_bytes: int = 0
+    #: per-shard exact candidate counts from the mesh paths' fused
+    #: dispatches (elementwise sum over dispatches) — load-balance evidence
+    per_device_candidates: Optional[list] = None
 
     @property
     def total_seconds(self) -> float:

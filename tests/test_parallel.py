@@ -556,3 +556,134 @@ class TestLongPatternSmallShards:
         ]
         assert got == want
         assert got[0] == [77]
+
+
+class TestMeshPipelining:
+    """Round-5 regression: the mesh paths defer their result fetches
+    behind later dispatches, like the single-device pipelined paths.
+
+    Ordering is observed by monkeypatching the sharded-module seams the
+    engine resolves at call time (``_sharded_fused_fn`` /
+    ``parse_sharded_combos`` for the resident path,
+    ``sharded_fused_step_start``/``_finish`` for the streaming chunk
+    path)."""
+
+    def test_resident_dual_alignment_back_to_back(
+        self, devices, tmp_path, rng, monkeypatch
+    ):
+        """A 16-bit mesh search issues BOTH alignment grids' collective
+        dispatches before paying either result fetch (mirrors the dual
+        alignment structure of ``search_engine.cpp:129-159`` without 2x
+        serialized transactions)."""
+        from monkey_moore_tpu.config import SearchConfig
+        from monkey_moore_tpu.engine import SearchEngine
+        from monkey_moore_tpu.parallel import resident, sharded
+
+        resident.clear_sharded_corpus_cache()
+        nb = 120_000
+        raw = rng.integers(0, 256, nb).astype(np.uint8)
+        enc = np.array(
+            [(ord(c) + 5) % 65536 for c in "monkey"], dtype="<u2"
+        ).view(np.uint8)
+        raw[2000 : 2000 + 12] = enc  # even byte alignment
+        raw[3001 : 3001 + 12] = enc  # odd byte alignment
+        p = tmp_path / "dual.bin"
+        p.write_bytes(raw.tobytes())
+
+        events = []
+        real_factory = sharded._sharded_fused_fn
+        real_parse = sharded.parse_sharded_combos
+
+        def logged_factory(*a, **k):
+            fn = real_factory(*a, **k)
+
+            def call(*args):
+                events.append("dispatch")
+                return fn(*args)
+
+            return call
+
+        def logged_parse(*a, **k):
+            events.append("parse")
+            return real_parse(*a, **k)
+
+        monkeypatch.setattr(sharded, "_sharded_fused_fn", logged_factory)
+        monkeypatch.setattr(sharded, "parse_sharded_combos", logged_parse)
+
+        cfg = SearchConfig(
+            file_path=p, keyword="monkey", element_width=2,
+            devices=devices[:4],
+        )
+        e = SearchEngine(cfg)
+        offs = [r.offset for r in e.run()]
+        assert 2000 in offs and 3001 in offs
+        # both alignment dispatches are in flight before the first fetch
+        assert events == ["dispatch", "dispatch", "parse", "parse"]
+        assert e.last_stats.device_dispatches == 2
+        # structural metrics recorded: one tile ppermuted per device per
+        # dispatch; per-shard candidate balance present
+        assert e.last_stats.ici_halo_bytes > 0
+        assert e.last_stats.per_device_candidates is not None
+        assert len(e.last_stats.per_device_candidates) == 4
+        assert sum(e.last_stats.per_device_candidates) >= 2
+
+    def test_streaming_mesh_chunks_pipeline(
+        self, devices, tmp_path, rng, monkeypatch
+    ):
+        """With residency disabled, the chunked mesh path keeps
+        ``pipeline_depth`` collective steps in flight (starts run ahead
+        of finishes) and still produces exact results."""
+        from monkey_moore_tpu.config import SearchConfig
+        from monkey_moore_tpu.engine import SearchEngine
+        from monkey_moore_tpu.parallel import resident, sharded
+
+        resident.clear_sharded_corpus_cache()
+        n = 256 * 1024
+        data = rng.integers(0, 256, n).astype(np.uint8)
+        enc = np.array([ord(c) + 3 for c in "monkey"], dtype=np.uint8)
+        plants = [5, 70_000, 131_071, n - 6]  # one straddles chunk bound
+        for pos in plants:
+            data[pos : pos + 6] = enc
+        p = tmp_path / "stream.bin"
+        p.write_bytes(data.tobytes())
+
+        events = []
+        real_start = sharded.sharded_fused_step_start
+        real_finish = sharded.sharded_fused_step_finish
+
+        def logged_start(*a, **k):
+            events.append("start")
+            return real_start(*a, **k)
+
+        def logged_finish(*a, **k):
+            events.append("finish")
+            return real_finish(*a, **k)
+
+        monkeypatch.setattr(
+            sharded, "sharded_fused_step_start", logged_start
+        )
+        monkeypatch.setattr(
+            sharded, "sharded_fused_step_finish", logged_finish
+        )
+
+        want = [
+            r.offset
+            for r in SearchEngine(
+                SearchConfig(file_path=p, keyword="monkey")
+            ).run()
+        ]
+        assert sorted(plants) == want
+        cfg = SearchConfig(
+            file_path=p, keyword="monkey", devices=devices[:4],
+            resident_bytes_limit=0,  # force the streaming chunk path
+            device_chunk_bytes=64 * 1024, pipeline_depth=3,
+        )
+        e = SearchEngine(cfg)
+        got = [r.offset for r in e.run()]
+        assert got == want
+        n_start = events.count("start")
+        n_finish = events.count("finish")
+        assert n_start == n_finish and n_start >= 4
+        # pipelining: depth=3 steps stay in flight — the first fetch is
+        # deferred until the 4th dispatch has been issued
+        assert events[:5] == ["start"] * 4 + ["finish"]
