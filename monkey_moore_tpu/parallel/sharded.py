@@ -546,8 +546,11 @@ def parse_sharded_combos(
     )
     if (n_hot > k_cap).any() or (n_cand > p_cap).any():
         counts = np.asarray(counts_dev).reshape(-1)[:t_total]
+        # the capped gather's per-device counts undercount on overflow —
+        # not meaningful as balance evidence
         info = info._replace(
-            fallback=True, d2h_bytes=info.d2h_bytes + counts.nbytes
+            fallback=True, d2h_bytes=info.d2h_bytes + counts.nbytes,
+            per_device=None,
         )
         return (
             np.zeros(0, dtype=np.int64),
