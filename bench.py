@@ -206,6 +206,72 @@ def main():
         f"steady-state {n / piped / 1e9:.1f} GB/s over {iters} steps",
         file=sys.stderr,
     )
+
+    # Same-session speed-of-light decomposition (drift-robust: the relay's
+    # absolute rates drift 2-3x between sessions, so the self-contained
+    # roofline claim is the RATIO of the production step to a pure
+    # load+sum Pallas kernel over EXACTLY the same corpus, same fetch
+    # pattern — one scalar D2H).  pct_of_pure_load >= ~95 means the scan
+    # runs at its own memory pipeline's speed of light and any gap to the
+    # HBM roofline is the link's serialized per-transaction cost, not the
+    # kernel (docs/PERF.md).
+    sol = {}
+    if pallas_compute_mode() == "swar" and jax.default_backend() in (
+        "tpu", "axon"
+    ):
+        try:
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+
+            TR = 2048
+            corpus_rows = n // 4 // lanes32
+            NT = corpus_rows // TR
+
+            def load_kernel(tile_ref, out_ref):
+                out_ref[:] = jnp.broadcast_to(
+                    jnp.sum(tile_ref[:]), (8, 128)
+                )
+
+            @jax.jit
+            def load_call(x):
+                raw = pl.pallas_call(
+                    load_kernel,
+                    grid=(NT,),
+                    in_specs=[
+                        pl.BlockSpec(
+                            (TR, lanes32), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM,
+                        )
+                    ],
+                    out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+                    out_shape=jax.ShapeDtypeStruct(
+                        (NT * 8, 128), jnp.int32
+                    ),
+                )(x)
+                return jnp.sum(raw[::8, 0])
+
+            int(load_call(data))  # compile
+            load_bytes = NT * TR * lanes32 * 4
+            t_load = float("inf")
+            for _ in range(max(3, min(iters, 8))):
+                t0 = time.perf_counter()
+                int(load_call(data))  # result fetch: the only real timing
+                t_load = min(t_load, time.perf_counter() - t0)
+            # scale the load time to the full corpus the fused step scans
+            t_load_full = t_load * n / load_bytes
+            sol = {
+                "pure_load_bytes_per_s": load_bytes / t_load,
+                "kernel_over_pure_load": best / t_load_full,
+                "pct_of_pure_load": 100.0 * t_load_full / best,
+            }
+            print(
+                f"pure load {load_bytes / t_load / 1e9:.1f} GB/s | kernel/"
+                f"pure-load {best / t_load_full:.3f} (sync, same session)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # decomposition is evidence, not a gate
+            print(f"sol decomposition skipped: {e}", file=sys.stderr)
+
     baseline = reference_baseline()
     kind = jax.devices()[0].device_kind
     roofline = HBM_GBPS.get(kind)
@@ -217,6 +283,7 @@ def main():
     }
     if roofline:
         record["pct_hbm_roofline"] = 100.0 * value / (roofline * 1e9)
+    record.update(sol)
     print(json.dumps(record))
 
 

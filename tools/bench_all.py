@@ -3,17 +3,20 @@
 (``benchmarks/bench_search.cpp:67-104``): 8/16-bit relative search and
 wildcard Front/Middle/Back variants, bytes/s on device-resident data.
 
-Each timed step is the production fused scan (``dense.fused_count_extract``:
-ONE dispatch, ONE small device→host transaction).  On SWAR-capable
-toolchains the corpus is generated directly in HBM in the kernel's packed
-layout (the relay's host→device path is too slow to upload per suite);
-otherwise a host buffer is uploaded once per suite.
+Every suite runs the PRODUCTION pipelined path at the headline's scale:
+a 12 GiB resident corpus (generated directly in HBM in the kernel's
+packed layout — the relay's host→device path is too slow to upload per
+suite), with ``--pipeline`` fused steps kept in flight exactly like
+``bench.py`` and the engine's chunk loop (``SearchConfig.pipeline_depth``).
+Each suite records the same-session sync-vs-pipelined pair plus its own
+``pct_hbm_roofline`` so every mode's distance to the chip's
+speed-of-light is in the artifact, not just the 8-bit headline's.
 
 Writes BENCH_DETAIL.json at the repo root and prints a table with
 per-suite speedup vs the reference C++ core measured on this host
 (BASELINE_MEASURED.json, reproducible via ``tools/refbench/run.py``).
 
-Usage: python tools/bench_all.py [--mb 2048] [--iters 10]
+Usage: python tools/bench_all.py [--mb 12288] [--iters 10]
 """
 
 import argparse
@@ -62,9 +65,13 @@ def device_corpus(jax, jnp, n_bytes, lanes32, pad_rows):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mb", type=int, default=2048)
+    ap.add_argument("--mb", type=int, default=12288,
+                    help="per-suite resident corpus size (the headline's "
+                         "12 GiB by default; lower for CPU smoke runs)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--pipeline", type=int, default=3,
+                    help="fused steps kept in flight (bench.py's depth)")
     ap.add_argument("--no-sweep", action="store_true",
                     help="skip the 128 KiB..16 MiB buffer-size ladder")
     args = ap.parse_args()
@@ -75,6 +82,8 @@ def main():
     from monkey_moore_tpu.dense import (
         TILE_ELEMS,
         fused_count_extract,
+        fused_count_extract_finish,
+        fused_count_extract_start,
         wants_packed,
     )
     from monkey_moore_tpu.ops.scan_pallas import LANES
@@ -82,6 +91,10 @@ def main():
     from monkey_moore_tpu.utils.jit_cache import enable_persistent_cache
 
     enable_persistent_cache()
+
+    from bench import HBM_GBPS  # shared per-chip HBM read-bandwidth table
+
+    roofline_gbps = HBM_GBPS.get(jax.devices()[0].device_kind)
 
     baselines = {}
     try:
@@ -93,6 +106,18 @@ def main():
         pass
 
     n_bytes = args.mb * 1024 * 1024
+    dev0 = jax.devices()[0]
+    try:
+        limit = dev0.memory_stats().get("bytes_limit")
+    except Exception:
+        limit = None
+    if limit is not None and n_bytes + (256 << 20) > limit:
+        print(
+            f"error: --mb {args.mb} needs {n_bytes + (256 << 20)} bytes "
+            f"but {dev0.device_kind} provides {limit}; lower --mb",
+            file=sys.stderr,
+        )
+        return 1
     host_raw = None  # lazy host buffer for non-packed backends
 
     def bench_step(pat, n, width, tile_elems, size_bytes):
@@ -125,18 +150,44 @@ def main():
             # k_cap auto-sizes from the pattern's expected prefilter FP
             # rate (wildcard keywords legitimately match random data at
             # ~2^-8c per window — those are true matches, not noise)
-            fused_count_extract(pat, dev, n, tile_elems=tile_elems)
+            _, _, info = fused_count_extract(
+                pat, dev, n, tile_elems=tile_elems
+            )
+            return info
 
-        step()
+        info = step()  # compile
         for _ in range(args.warmup):
             step()
         best = float("inf")
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            step()
+            info = step()
             best = min(best, time.perf_counter() - t0)
-        del dev
-        return best
+
+        # Pipelined steady state — the engine's production loop (deque of
+        # ``--pipeline`` in-flight fused steps, every result still fetched
+        # D2H, one step late; bench.py's exact apparatus)
+        from collections import deque
+
+        depth = max(1, args.pipeline)
+        fallbacks = 0
+        pend = deque()
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            pend.append(
+                fused_count_extract_start(
+                    pat, dev, n, tile_elems=tile_elems
+                )
+            )
+            if len(pend) >= depth:
+                fin = fused_count_extract_finish(pend.popleft())
+                fallbacks += bool(fin[2].fallback)
+        while pend:
+            fin = fused_count_extract_finish(pend.popleft())
+            fallbacks += bool(fin[2].fallback)
+        piped = (time.perf_counter() - t0) / args.iters
+        del dev, pend
+        return best, piped, info, fallbacks
 
     results = {}
     for name, keyword, wildcard, width in SUITES:
@@ -146,17 +197,37 @@ def main():
             8 * LANES if wants_packed(pat, 8 * LANES) else TILE_ELEMS
         )
         n = n_bytes // width
-        best = bench_step(pat, n, width, tile_elems, n_bytes)
-        bps = n_bytes / best
+        best, piped, info, fallbacks = bench_step(
+            pat, n, width, tile_elems, n_bytes
+        )
+        bps = n_bytes / min(best, piped)
         base = baselines.get(name)
         speedup = bps / base if base else None
         results[name] = {
             "bytes_per_s": bps,
+            "sync_bytes_per_s": n_bytes / best,
+            "pipelined_bytes_per_s": n_bytes / piped,
+            "pipeline_depth": args.pipeline,
             "reference_bytes_per_s": base,
             "speedup": speedup,
+            "matches_per_step": info.candidates,
+            "fused_fallbacks": fallbacks,
         }
+        if roofline_gbps:
+            results[name]["pct_hbm_roofline"] = (
+                100.0 * bps / (roofline_gbps * 1e9)
+            )
         sp = f"{speedup:8.1f}x" if speedup else "      n/a"
-        print(f"{name:<45} {bps / 1e9:8.2f} GB/s  vs ref {sp}", flush=True)
+        rl = (
+            f"  {results[name]['pct_hbm_roofline']:5.1f}% HBM"
+            if roofline_gbps else ""
+        )
+        print(
+            f"{name:<45} {bps / 1e9:8.2f} GB/s (sync "
+            f"{n_bytes / best / 1e9:6.2f} | piped "
+            f"{n_bytes / piped / 1e9:6.2f})  vs ref {sp}{rl}",
+            flush=True,
+        )
 
     # Buffer-size ladder (the reference's Range(128<<10, 16<<20) with
     # RangeMultiplier(4), ``benchmarks/bench_search.cpp:70``).  Measures what
