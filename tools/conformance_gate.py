@@ -94,6 +94,10 @@ def main():
     ap.add_argument("--trials", type=int, default=120)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--json", type=Path, default=None,
+                    help="write the gate result as a JSON artifact (used "
+                         "for the per-round on-TPU record, "
+                         "CONFORMANCE_TPU.json)")
     args = ap.parse_args()
 
     import os
@@ -325,6 +329,33 @@ def main():
           f"it) [{modes_str}]")
     for f in failures[:10]:
         print("FAIL:", f)
+
+    if args.json:
+        import datetime
+        import json
+
+        from monkey_moore_tpu.ops.scan_pallas import pallas_compute_mode
+
+        dev0 = jax.devices()[0]
+        artifact = {
+            "date": datetime.date.today().isoformat(),
+            "backend": jax.default_backend(),
+            "device_kind": dev0.device_kind,
+            "n_devices": len(jax.devices()),
+            "kernel_mode": pallas_compute_mode(),
+            "trials": args.trials,
+            "seed": args.seed,
+            "checks_passed": passed,
+            "checks_failed": failed,
+            "known_divergence": known_divergence,
+            "pass_rate_pct": 100.0 * passed / max(1, total),
+            "mode_counts": mode_counts,
+            "routes": "host / forced-device / mesh (t%3 rotation; mesh "
+                      "falls back to forced-device when <2 devices)",
+            "failures": [repr(f) for f in failures[:10]],
+        }
+        args.json.write_text(json.dumps(artifact, indent=2) + "\n")
+        print(f"written: {args.json}")
     return 1 if failed else 0
 
 
