@@ -184,6 +184,10 @@ def main():
         fused_count_extract_start,
     )
 
+    # depth 3: the curve is flat past ~3 (368 GB/s at x3 vs 377 at x8,
+    # same session — the residual is the relay's serialized
+    # per-transaction cost, not queue depth), and x3 is the apparatus the
+    # recorded rounds used
     depth = max(1, int(os.environ.get("MMTPU_BENCH_PIPELINE", "3")))
     pend = deque()
     t0 = time.perf_counter()
@@ -257,16 +261,59 @@ def main():
                 t0 = time.perf_counter()
                 int(load_call(data))  # result fetch: the only real timing
                 t_load = min(t_load, time.perf_counter() - t0)
-            # scale the load time to the full corpus the fused step scans
+
+            # the counts kernel at EXACTLY the load kernel's block geometry
+            # (perf_probe's `sol` apparatus): kernel-vs-load with identical
+            # tiling is the drift-robust "kernel at its memory pipeline's
+            # speed of light" ratio; the full fused step adds the gather +
+            # exact-phase-2 + result-buffer work on top
+            from monkey_moore_tpu.ops.scan_pallas import tile_counts_pallas
+
+            def counts_step():
+                return np.asarray(
+                    tile_counts_pallas(pat, data, n, tile_rows=TR)
+                )
+
+            counts_step()  # compile
+            t_kernel = float("inf")
+            for _ in range(max(3, min(iters, 8))):
+                t0 = time.perf_counter()
+                counts_step()
+                t_kernel = min(t_kernel, time.perf_counter() - t0)
+
+            # pipelined pure load — the LINK's end-to-end speed of light:
+            # even a kernel that only reads HBM and returns one scalar
+            # cannot beat this through the relay's serialized
+            # per-transaction path.  The production rate as a percentage
+            # of THIS is the self-contained roofline claim.
+            lp = deque()
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                lp.append(load_call(data))
+                if len(lp) >= depth:
+                    int(lp.popleft())
+            while lp:
+                int(lp.popleft())
+            t_load_piped = (time.perf_counter() - t0) / iters
+
+            # scale the load times to the full corpus the fused step scans
             t_load_full = t_load * n / load_bytes
+            t_lp_full = t_load_piped * n / load_bytes
             sol = {
                 "pure_load_bytes_per_s": load_bytes / t_load,
-                "kernel_over_pure_load": best / t_load_full,
-                "pct_of_pure_load": 100.0 * t_load_full / best,
+                "pure_load_pipelined_bytes_per_s": load_bytes / t_load_piped,
+                "kernel_over_pure_load": t_kernel / t_load,
+                "pct_of_pure_load": 100.0 * t_load / t_kernel,
+                "pct_of_pipelined_pure_load": 100.0 * t_lp_full / piped,
+                "fused_step_over_pure_load": best / t_load_full,
             }
             print(
-                f"pure load {load_bytes / t_load / 1e9:.1f} GB/s | kernel/"
-                f"pure-load {best / t_load_full:.3f} (sync, same session)",
+                f"pure load {load_bytes / t_load / 1e9:.1f} GB/s sync / "
+                f"{load_bytes / t_load_piped / 1e9:.1f} GB/s pipelined | "
+                f"counts-kernel/pure-load {t_kernel / t_load:.3f} | "
+                f"fused-step/pure-load {best / t_load_full:.3f} | "
+                f"piped-fused/piped-load "
+                f"{100.0 * t_lp_full / piped:.1f}% (same session)",
                 file=sys.stderr,
             )
         except Exception as e:  # decomposition is evidence, not a gate
