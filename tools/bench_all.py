@@ -269,7 +269,10 @@ def main():
                 eng.run()  # warm: pattern memo + native scanner build
                 assert eng.last_stats.host_routed, "sweep must ride host path"
                 best = float("inf")
-                for _ in range(args.iters):
+                # sub-millisecond scans need more draws for a stable best
+                # (scheduler noise dominates single runs at these sizes)
+                for _ in range(max(args.iters, 30 if size < (1 << 20)
+                                   else args.iters)):
                     t0 = time.perf_counter()
                     eng.run()
                     best = min(best, time.perf_counter() - t0)

@@ -242,11 +242,52 @@ def main():
             "ici_halo_bytes": em2.last_stats.ici_halo_bytes,
         }
     else:
-        extra5["multi_shard"] = {
-            "note": "single-device session: multi-shard structure is "
-                    "gated by tests/test_parallel.py and the real "
-                    "2-process DCN test in tests/test_multihost.py"
-        }
+        # single-device session (the real chip): run the multi-shard
+        # structural check in a CPU subprocess over 8 virtual devices on
+        # the SAME corpus file (the real 2-process DCN analog lives in
+        # tests/test_multihost.py)
+        import subprocess
+
+        check = (
+            "import os, json, sys\n"
+            f"sys.path.insert(0, {str(REPO)!r})\n"
+            "os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS','') +"
+            " ' --xla_force_host_platform_device_count=8')\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "from monkey_moore_tpu.config import SearchConfig\n"
+            "from monkey_moore_tpu.engine import SearchEngine\n"
+            f"cfg = dict(file_path={str(p5)!r}, keyword={kw5!r}, "
+            f"custom_char_seq={KANA_SEQ!r}, "
+            "devices=list(jax.devices()[:8]))\n"
+            "e = SearchEngine(SearchConfig(**cfg))\n"
+            "offs = [r.offset for r in e.run()]\n"
+            "e2 = SearchEngine(SearchConfig(**cfg))\n"
+            "offs2 = [r.offset for r in e2.run()]\n"
+            f"planted = {planted5!r}\n"
+            "print(json.dumps({\n"
+            "    'n_devices': 8, 'backend': 'cpu-virtual',\n"
+            "    'planted_found': all(p in offs for p in planted),\n"
+            "    'repeat_identical': offs == offs2,\n"
+            "    'device_dispatches': e2.last_stats.device_dispatches,\n"
+            "    'h2d_bytes_repeat': e2.last_stats.h2d_bytes,\n"
+            "    'ici_halo_bytes': e2.last_stats.ici_halo_bytes,\n"
+            "}))\n"
+        )
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", check], capture_output=True,
+                text=True, timeout=1800,
+            )
+            extra5["multi_shard"] = json.loads(
+                out.stdout.strip().splitlines()[-1]
+            )
+        except Exception as e:
+            extra5["multi_shard"] = {
+                "note": f"virtual-mesh subprocess failed ({e}); structure "
+                        "is gated by tests/test_parallel.py and the real "
+                        "2-process DCN test in tests/test_multihost.py"
+            }
     row5 = run_row(
         dict(file_path=p5, keyword=kw5, custom_char_seq=KANA_SEQ),
         n5, planted5, CONFIG_TEXTS[4], extra=extra5,
