@@ -150,6 +150,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "override with MMTPU_PREFS); loaded on start, "
                         "saved on exit")
 
+    u = sub.add_parser(
+        "tui",
+        help="full-screen terminal UI (progress gauge, result list with "
+             "dedup-by-values-map, preview pane)",
+    )
+    u.add_argument("file", nargs="?", help="file to open on startup")
+    u.add_argument("--keyword", default="", help="initial keyword")
+
     return ap
 
 
@@ -374,6 +382,11 @@ def main(argv=None) -> int:
         from .repl import repl_main
 
         return repl_main(args.file, cpu=args.cpu, prefs=args.prefs)
+
+    if args.command == "tui":
+        from .tui import run_tui
+
+        return run_tui(args.file, args.keyword)
 
     return 2
 

@@ -1,0 +1,382 @@
+"""Terminal UI shell over :class:`~monkey_moore_tpu.async_search.AsyncSearch`.
+
+The direct counterpart of the reference's main-frame result display
+(``src/gui/monkey_frame.cpp:1214-1282`` ``ShowResults`` +
+``:1285-1303`` ``OnThreadUpdate``): a progress gauge fed by the worker's
+UPDATE events, a three-column result list (offset / values / preview)
+with **dedup-by-equivalency-map** exactly like the reference's
+``unique`` filter, display byteswap of the values column per search
+endianness, hex/dec offset mode, a preview pane for the selected row,
+and a result counter label.
+
+Architecture: everything observable lives in :class:`TuiModel` (pure
+state + key handling) and :func:`render_lines` (state → list of screen
+lines), both fully testable headless; :func:`run_tui` is a thin curses
+driver that paints those lines and pumps AsyncSearch events through a
+queue.  Launch via ``python -m monkey_moore_tpu.cli tui FILE`` or
+``python -m monkey_moore_tpu.tui FILE``.
+"""
+
+from __future__ import annotations
+
+import queue
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from .config import Endianness, SearchConfig
+from .i18n import _
+from .validate import check_keyword
+
+__all__ = ["TuiModel", "render_lines", "run_tui", "format_values"]
+
+
+def format_values(values_map, width: int, endianness: Endianness) -> str:
+    """``c=HEX`` pairs with display byteswap in file byte order — mirrors
+    ``ShowResults``'s per-character loop (``monkey_frame.cpp:1253-1262``)."""
+    digits = width * 2
+    parts = []
+    for char, value in values_map.items():
+        v = int(value)
+        if width > 1 and endianness is Endianness.LITTLE:
+            v = ((v & 0xFF) << 8) | ((v >> 8) & 0xFF)
+        parts.append(f"{chr(char)}={v:0{digits}X}")
+    return " ".join(parts)
+
+
+@dataclass
+class TuiModel:
+    """All TUI state + key handling (curses-free, headless-testable)."""
+
+    file_path: Optional[str] = None
+    keyword: str = ""
+    wildcard: str = ""
+    element_width: int = 1
+    endianness: Endianness = Endianness.LITTLE
+    dedup: bool = True  #: the reference's default list is deduped
+    hex_offsets: bool = True
+    results: list = field(default_factory=list)
+    selected: int = 0
+    scroll: int = 0
+    progress_pct: int = 0
+    progress_msg: str = ""
+    elapsed: str = ""
+    status: str = "type keyword, Enter=search  (F1/? for keys)"
+    searching: bool = False
+    show_help: bool = False
+    quit: bool = False
+    search: object = None  #: live AsyncSearch while running
+
+    # ------------------------------------------------------------------
+    def visible_rows(self) -> List[Tuple[int, str, str, str]]:
+        """(result_index, offset, values, preview) rows after the
+        dedup-by-map filter (``monkey_frame.cpp:1240-1246``: a result
+        whose equivalency map was already listed is skipped)."""
+        rows = []
+        seen_maps: list = []
+        for i, r in enumerate(self.results):
+            if self.dedup:
+                if r.values_map in seen_maps:
+                    continue
+                seen_maps.append(r.values_map)
+            off = (
+                f"0x{r.offset:X}" if self.hex_offsets else str(r.offset)
+            )
+            rows.append((
+                i,
+                off,
+                format_values(
+                    r.values_map, self.element_width, self.endianness
+                ),
+                r.preview or "",
+            ))
+        return rows
+
+    def counter_label(self) -> str:
+        """The result-counter label (``monkey_frame.cpp:1274-1280``):
+        unique count when deduping, total otherwise."""
+        return f"{len(self.visible_rows())} {_('result(s)')}"
+
+    # ------------------------------------------------------------------
+    def start_search(self, async_cls=None):
+        """Validate + launch an AsyncSearch (Enter)."""
+        if self.searching:
+            self.status = "search already running (a=abort)"
+            return None
+        # the wildcard checkbox analog: '*' in the keyword enables it
+        wc = self.wildcard or ("*" if "*" in self.keyword else None)
+        warning = check_keyword(self.keyword, wc, "")
+        if warning is not None:
+            self.status = _(warning.value)
+            return None
+        if not self.file_path:
+            self.status = _("no file open (use: open FILE)")
+            return None
+        if async_cls is None:
+            from .async_search import AsyncSearch as async_cls  # noqa: N813
+        cfg = SearchConfig(
+            file_path=self.file_path,
+            keyword=self.keyword,
+            wildcard=wc or 0,
+            element_width=self.element_width,
+            endianness=self.endianness,
+        )
+        events: queue.Queue = queue.Queue()
+        self.search = async_cls(
+            cfg,
+            on_update=lambda msg, pct: events.put(("update", msg, pct)),
+            on_completed=lambda res: events.put(("completed", res)),
+            on_aborted=lambda: events.put(("aborted",)),
+            on_failed=lambda err: events.put(("failed", err)),
+        ).start()
+        self.search_events = events
+        self.searching = True
+        self.results = []
+        self.selected = self.scroll = 0
+        self.progress_pct = 0
+        self.status = "searching..."
+        self._t0 = time.time()
+        return self.search
+
+    def pump_events(self) -> bool:
+        """Drain worker events into the model; True if anything changed."""
+        changed = False
+        q = getattr(self, "search_events", None)
+        while q is not None:
+            try:
+                ev = q.get_nowait()
+            except queue.Empty:
+                break
+            changed = True
+            kind = ev[0]
+            if kind == "update":
+                self.progress_msg, self.progress_pct = ev[1], ev[2]
+                self.elapsed = f"{time.time() - self._t0:.2f}s"
+            elif kind == "completed":
+                self.results = ev[1]
+                self.searching = False
+                self.progress_pct = 100
+                self.elapsed = f"{time.time() - self._t0:.2f}s"
+                self.status = self.counter_label()
+            elif kind == "aborted":
+                self.searching = False
+                self.status = _("aborted")
+            elif kind == "failed":
+                self.searching = False
+                self.status = f"error: {ev[1]}"
+        return changed
+
+    # ------------------------------------------------------------------
+    def handle_key(self, key: str) -> None:
+        """One key of input.  Printable chars edit the keyword; named
+        keys: ENTER/UP/DOWN/PGUP/PGDN/BACKSPACE, 'a'(abort while
+        searching), F2=dedup, F3=offsets, F4=width, F5=endianness,
+        F1/'?'=help, ESC=quit."""
+        rows = self.visible_rows()
+        if key == "ESC":
+            if self.searching and self.search is not None:
+                self.search.abort()
+            self.quit = True
+        elif key == "ENTER":
+            self.start_search()
+        elif key == "BACKSPACE":
+            self.keyword = self.keyword[:-1]
+        elif key == "UP":
+            self.selected = max(0, self.selected - 1)
+        elif key == "DOWN":
+            self.selected = min(
+                max(0, len(rows) - 1), self.selected + 1
+            )
+        elif key == "PGUP":
+            self.selected = max(0, self.selected - 10)
+        elif key == "PGDN":
+            self.selected = min(
+                max(0, len(rows) - 1), self.selected + 10
+            )
+        elif key == "F1" or (key == "?" and not self.searching
+                             and not self.keyword):
+            self.show_help = not self.show_help
+        elif key == "F2":
+            self.dedup = not self.dedup
+            self.selected = self.scroll = 0
+            if self.results:
+                self.status = self.counter_label()
+        elif key == "F3":
+            self.hex_offsets = not self.hex_offsets
+        elif key == "F4":
+            self.element_width = 3 - self.element_width  # 1 <-> 2
+        elif key == "F5":
+            self.endianness = (
+                Endianness.BIG
+                if self.endianness is Endianness.LITTLE
+                else Endianness.LITTLE
+            )
+        elif key == "a" and self.searching:
+            if self.search is not None:
+                self.search.abort()
+                self.status = "aborting..."
+        elif len(key) == 1 and key.isprintable():
+            self.keyword += key
+
+
+# ---------------------------------------------------------------------------
+# Pure renderer: model -> list of fixed-width strings (one per screen row).
+
+
+def _gauge(pct: int, width: int) -> str:
+    filled = int(width * max(0, min(100, pct)) / 100)
+    return "[" + "#" * filled + "-" * (width - filled) + "]"
+
+
+HELP_LINES = [
+    "keys:",
+    "  type        edit keyword (wildcard * allowed)",
+    "  Enter       start search        a      abort running search",
+    "  Up/Down     select result       PgUp/PgDn  page",
+    "  F2  toggle dedup-by-values-map  F3     hex/dec offsets",
+    "  F4  8/16-bit width              F5     endianness",
+    "  F1/?        this help           Esc    quit",
+]
+
+
+def render_lines(model: TuiModel, width: int = 80,
+                 height: int = 24) -> List[str]:
+    """Render the whole screen as ``height`` strings of ``<= width``
+    chars: header, keyword field, progress gauge, result table, preview
+    pane, status bar.  Pure function of the model — the curses driver
+    just paints these."""
+    lines: List[str] = []
+    w = max(40, width)
+    endian = "BE" if model.endianness is Endianness.BIG else "LE"
+    lines.append(
+        f" monkey-moore-tpu  {model.file_path or '(no file)'}"[:w]
+    )
+    lines.append(
+        f" keyword: {model.keyword}_   "
+        f"[{8 * model.element_width}-bit {endian}] "
+        f"dedup={'on' if model.dedup else 'off'} "
+        f"offsets={'hex' if model.hex_offsets else 'dec'}"[:w]
+    )
+    gauge_w = max(10, w - 30)
+    pct = model.progress_pct
+    lines.append(
+        f" {_gauge(pct, gauge_w)} {pct:3d}%  {model.elapsed}"[:w]
+    )
+    lines.append("-" * w)
+
+    if model.show_help:
+        body = HELP_LINES[:]
+    else:
+        rows = model.visible_rows()
+        model.selected = min(model.selected, max(0, len(rows) - 1))
+        table_h = max(1, height - 8)
+        # keep the selection visible
+        if model.selected < model.scroll:
+            model.scroll = model.selected
+        if model.selected >= model.scroll + table_h:
+            model.scroll = model.selected - table_h + 1
+        body = []
+        for i in range(model.scroll,
+                       min(len(rows), model.scroll + table_h)):
+            _idx, off, vals, prev = rows[i]
+            cursor = ">" if i == model.selected else " "
+            body.append(f"{cursor}{off:<12} {vals[:28]:<28} {prev}"[:w])
+        if not rows:
+            body.append("  (no results)")
+        # preview pane: full values + preview of the selection
+        body.append("-" * w)
+        if rows:
+            _idx, off, vals, prev = rows[model.selected]
+            body.append(f" {off}  {vals}"[:w])
+            body.append(f" {prev}"[:w])
+        else:
+            body.append("")
+            body.append("")
+
+    lines.extend(body)
+    while len(lines) < height - 1:
+        lines.append("")
+    lines = lines[: height - 1]
+    counter = model.counter_label() if model.results else ""
+    lines.append(f" {model.status}  {counter}"[:w])
+    return lines
+
+
+# ---------------------------------------------------------------------------
+# curses driver
+
+
+_CURSES_KEYS = {
+    "\n": "ENTER", "\r": "ENTER",
+    "\x1b": "ESC",
+}
+
+
+def run_tui(file_path: Optional[str] = None, keyword: str = "",
+            stdscr=None) -> int:
+    """Interactive curses loop (blocking).  ``stdscr=None`` wraps itself
+    via ``curses.wrapper``."""
+    import curses
+
+    if stdscr is None:
+        return curses.wrapper(
+            lambda scr: run_tui(file_path, keyword, stdscr=scr)
+        )
+
+    model = TuiModel(file_path=file_path, keyword=keyword)
+    curses.curs_set(0)
+    stdscr.nodelay(True)
+    named = {
+        curses.KEY_ENTER: "ENTER",
+        curses.KEY_UP: "UP",
+        curses.KEY_DOWN: "DOWN",
+        curses.KEY_PPAGE: "PGUP",
+        curses.KEY_NPAGE: "PGDN",
+        curses.KEY_BACKSPACE: "BACKSPACE",
+        curses.KEY_F1: "F1",
+        curses.KEY_F2: "F2",
+        curses.KEY_F3: "F3",
+        curses.KEY_F4: "F4",
+        curses.KEY_F5: "F5",
+        127: "BACKSPACE",
+    }
+    while not model.quit:
+        model.pump_events()
+        h, w = stdscr.getmaxyx()
+        for y, line in enumerate(render_lines(model, w - 1, h)):
+            try:
+                stdscr.addstr(y, 0, line.ljust(w - 1))
+            except curses.error:
+                pass  # bottom-right cell write
+        stdscr.refresh()
+        try:
+            ch = stdscr.getch()
+        except curses.error:
+            ch = -1
+        if ch == -1:
+            time.sleep(0.03)
+            continue
+        if ch in named:
+            model.handle_key(named[ch])
+        elif 0 <= ch < 0x110000:
+            model.handle_key(_CURSES_KEYS.get(chr(ch), chr(ch)))
+    if model.search is not None and model.searching:
+        model.search.abort()
+    return 0
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="monkey-moore-tpu tui",
+        description="interactive terminal UI (AsyncSearch shell)",
+    )
+    ap.add_argument("file", nargs="?", help="binary/ROM to search")
+    ap.add_argument("--keyword", default="", help="initial keyword")
+    args = ap.parse_args(argv)
+    return run_tui(args.file, args.keyword)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
