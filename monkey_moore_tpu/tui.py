@@ -66,6 +66,11 @@ class TuiModel:
     show_help: bool = False
     quit: bool = False
     search: object = None  #: live AsyncSearch while running
+    #: F6 input mode: keys edit a file path instead of the keyword (the
+    #: runtime target-selection analog of the reference's drag-&-drop
+    #: target, ``src/gui/drop_target.cpp:12-22``)
+    open_mode: bool = False
+    path_input: str = ""
 
     # ------------------------------------------------------------------
     def visible_rows(self) -> List[Tuple[int, str, str, str]]:
@@ -173,12 +178,38 @@ class TuiModel:
         searching), F2=dedup, F3=offsets, F4=width, F5=endianness,
         F1/'?'=help, ESC=quit."""
         rows = self.visible_rows()
+        if self.open_mode:
+            # path entry consumes every key until ENTER/ESC
+            if key == "ENTER":
+                self.open_mode = False
+                if self.path_input:
+                    from pathlib import Path
+
+                    if Path(self.path_input).exists():
+                        self.file_path = self.path_input
+                        self.results = []
+                        self.selected = self.scroll = 0
+                        self.status = f"opened {self.path_input}"
+                    else:
+                        self.status = _("File not found")
+            elif key == "ESC":
+                self.open_mode = False
+                self.status = "open cancelled"
+            elif key == "BACKSPACE":
+                self.path_input = self.path_input[:-1]
+            elif len(key) == 1 and key.isprintable():
+                self.path_input += key
+            return
         if key == "ESC":
             if self.searching and self.search is not None:
                 self.search.abort()
             self.quit = True
         elif key == "ENTER":
             self.start_search()
+        elif key == "F6":
+            self.open_mode = True
+            self.path_input = self.file_path or ""
+            self.status = "open: type path, Enter=open, Esc=cancel"
         elif key == "BACKSPACE":
             self.keyword = self.keyword[:-1]
         elif key == "UP":
@@ -235,7 +266,8 @@ HELP_LINES = [
     "  Up/Down     select result       PgUp/PgDn  page",
     "  F2  toggle dedup-by-values-map  F3     hex/dec offsets",
     "  F4  8/16-bit width              F5     endianness",
-    "  F1/?        this help           Esc    quit",
+    "  F6  open file (type path)       Esc    quit",
+    "  F1/?        this help",
 ]
 
 
@@ -248,9 +280,12 @@ def render_lines(model: TuiModel, width: int = 80,
     lines: List[str] = []
     w = max(40, width)
     endian = "BE" if model.endianness is Endianness.BIG else "LE"
-    lines.append(
-        f" monkey-moore-tpu  {model.file_path or '(no file)'}"[:w]
-    )
+    if model.open_mode:
+        lines.append(f" open file: {model.path_input}_"[:w])
+    else:
+        lines.append(
+            f" monkey-moore-tpu  {model.file_path or '(no file)'}"[:w]
+        )
     lines.append(
         f" keyword: {model.keyword}_   "
         f"[{8 * model.element_width}-bit {endian}] "
@@ -338,6 +373,7 @@ def run_tui(file_path: Optional[str] = None, keyword: str = "",
         curses.KEY_F3: "F3",
         curses.KEY_F4: "F4",
         curses.KEY_F5: "F5",
+        curses.KEY_F6: "F6",
         127: "BACKSPACE",
     }
     while not model.quit:

@@ -222,3 +222,56 @@ class TestCursesDriver:
         terminal); run_tui itself needs a tty so only the wiring is
         checked here."""
         assert callable(run_tui)
+
+
+class TestOpenMode:
+    """F6 path entry — the runtime target-selection analog of the
+    reference's drop target (``drop_target.cpp:12-22``)."""
+
+    def test_open_existing_file(self, tmp_path):
+        p = tmp_path / "new.bin"
+        p.write_bytes(b"\x00" * 64)
+        m = TuiModel()
+        m.handle_key("F6")
+        assert m.open_mode
+        for c in str(p):
+            m.handle_key(c)
+        m.handle_key("ENTER")
+        assert not m.open_mode and m.file_path == str(p)
+        assert "opened" in m.status
+
+    def test_open_missing_file(self):
+        m = TuiModel(file_path="/tmp/old.bin")
+        m.handle_key("F6")
+        for c in "/does/not/exist":
+            m.handle_key(c)
+        m.handle_key("ENTER")
+        assert m.file_path == "/tmp/old.bin"  # unchanged
+        assert m.status == "File not found"
+
+    def test_escape_cancels(self):
+        m = TuiModel(file_path="/tmp/x.bin")
+        m.handle_key("F6")
+        m.handle_key("a")
+        m.handle_key("ESC")
+        assert not m.open_mode and not m.quit
+        assert m.file_path == "/tmp/x.bin"
+
+    def test_render_shows_path_entry(self):
+        m = TuiModel()
+        m.handle_key("F6")
+        for c in "/tmp/ro":
+            m.handle_key(c)
+        lines = render_lines(m)
+        assert lines[0].startswith(" open file: /tmp/ro_")
+
+    def test_open_resets_results(self, tmp_path):
+        p = tmp_path / "r.bin"
+        p.write_bytes(b"\x00" * 8)
+        m = TuiModel()
+        m.results = [res(1, {97: 1})]
+        m.handle_key("F6")
+        for c in str(p):
+            m.handle_key(c)
+        m.handle_key("ENTER")
+        assert m.results == []
