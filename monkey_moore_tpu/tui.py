@@ -76,14 +76,26 @@ class TuiModel:
     def visible_rows(self) -> List[Tuple[int, str, str, str]]:
         """(result_index, offset, values, preview) rows after the
         dedup-by-map filter (``monkey_frame.cpp:1240-1246``: a result
-        whose equivalency map was already listed is skipped)."""
+        whose equivalency map was already listed is skipped).
+
+        Memoized per display state — the renderer and key handler call
+        this several times per frame, and a wildcard search can return
+        tens of thousands of rows."""
+        key = (
+            id(self.results), len(self.results), self.dedup,
+            self.hex_offsets, self.element_width, self.endianness,
+        )
+        cached = getattr(self, "_rows_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         rows = []
-        seen_maps: list = []
+        seen_maps: set = set()  # frozenset(map.items()): O(1) dedup probe
         for i, r in enumerate(self.results):
             if self.dedup:
-                if r.values_map in seen_maps:
+                sig = frozenset(r.values_map.items())
+                if sig in seen_maps:
                     continue
-                seen_maps.append(r.values_map)
+                seen_maps.add(sig)
             off = (
                 f"0x{r.offset:X}" if self.hex_offsets else str(r.offset)
             )
@@ -95,6 +107,7 @@ class TuiModel:
                 ),
                 r.preview or "",
             ))
+        self._rows_cache = (key, rows)
         return rows
 
     def counter_label(self) -> str:
@@ -177,7 +190,6 @@ class TuiModel:
         keys: ENTER/UP/DOWN/PGUP/PGDN/BACKSPACE, 'a'(abort while
         searching), F2=dedup, F3=offsets, F4=width, F5=endianness,
         F1/'?'=help, ESC=quit."""
-        rows = self.visible_rows()
         if self.open_mode:
             # path entry consumes every key until ENTER/ESC
             if key == "ENTER":
@@ -186,9 +198,17 @@ class TuiModel:
                     from pathlib import Path
 
                     if Path(self.path_input).exists():
+                        # a still-running search belongs to the OLD file:
+                        # abort it and discard its event queue so a late
+                        # COMPLETED cannot fill the list with stale rows
+                        if self.searching and self.search is not None:
+                            self.search.abort()
+                        self.search_events = None
+                        self.searching = False
                         self.file_path = self.path_input
                         self.results = []
                         self.selected = self.scroll = 0
+                        self.progress_pct = 0
                         self.status = f"opened {self.path_input}"
                     else:
                         self.status = _("File not found")
@@ -211,18 +231,21 @@ class TuiModel:
             self.path_input = self.file_path or ""
             self.status = "open: type path, Enter=open, Esc=cancel"
         elif key == "BACKSPACE":
-            self.keyword = self.keyword[:-1]
+            if self.searching:
+                self.status = "search running (a=abort, Esc=quit)"
+            else:
+                self.keyword = self.keyword[:-1]
         elif key == "UP":
             self.selected = max(0, self.selected - 1)
         elif key == "DOWN":
             self.selected = min(
-                max(0, len(rows) - 1), self.selected + 1
+                max(0, len(self.visible_rows()) - 1), self.selected + 1
             )
         elif key == "PGUP":
             self.selected = max(0, self.selected - 10)
         elif key == "PGDN":
             self.selected = min(
-                max(0, len(rows) - 1), self.selected + 10
+                max(0, len(self.visible_rows()) - 1), self.selected + 10
             )
         elif key == "F1" or (key == "?" and not self.searching
                              and not self.keyword):
@@ -247,7 +270,13 @@ class TuiModel:
                 self.search.abort()
                 self.status = "aborting..."
         elif len(key) == 1 and key.isprintable():
-            self.keyword += key
+            # keyword edits are blocked while a search runs — otherwise
+            # typing the next keyword would race the 'a' abort binding
+            # and silently corrupt the field
+            if self.searching:
+                self.status = "search running (a=abort, Esc=quit)"
+            else:
+                self.keyword += key
 
 
 # ---------------------------------------------------------------------------
@@ -394,7 +423,10 @@ def run_tui(file_path: Optional[str] = None, keyword: str = "",
             continue
         if ch in named:
             model.handle_key(named[ch])
-        elif 0 <= ch < 0x110000:
+        elif 0 <= ch < 256:
+            # only raw byte-range input reaches the model; curses special
+            # keycodes (KEY_LEFT=260, KEY_RESIZE=410, ...) are >= 256 and
+            # must not be chr()-ed into the keyword as junk characters
             model.handle_key(_CURSES_KEYS.get(chr(ch), chr(ch)))
     if model.search is not None and model.searching:
         model.search.abort()

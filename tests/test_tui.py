@@ -275,3 +275,62 @@ class TestOpenMode:
             m.handle_key(c)
         m.handle_key("ENTER")
         assert m.results == []
+
+
+class TestReviewFindings:
+    """Round-5 review regressions (stale completion, input racing)."""
+
+    def test_typing_blocked_while_searching(self):
+        m = TuiModel(keyword="mon")
+        m.searching = True
+        m.search = object()
+        m.handle_key("d")
+        m.handle_key("BACKSPACE")
+        assert m.keyword == "mon"
+        assert "search running" in m.status
+
+    def test_open_discards_stale_completion(self, tmp_path):
+        """A late COMPLETED from the old file's worker must not fill the
+        list after F6 opened a different file."""
+        import queue as queue_mod
+
+        class FakeSearch:
+            aborted = False
+
+            def abort(self):
+                self.aborted = True
+
+        pb = tmp_path / "b.bin"
+        pb.write_bytes(b"\x00" * 32)
+        m = TuiModel(file_path="/tmp/a.bin")
+        m.searching = True
+        m.search = FakeSearch()
+        q = queue_mod.Queue()
+        m.search_events = q
+        # user opens file B while A's search runs
+        m.handle_key("F6")
+        m.path_input = ""
+        for c in str(pb):
+            m.handle_key(c)
+        m.handle_key("ENTER")
+        assert m.search.aborted and not m.searching
+        # A's worker completes late into the OLD queue
+        q.put(("completed", [res(0x999, {97: 1})]))
+        m.pump_events()
+        assert m.results == []  # stale rows never shown
+
+    def test_dedup_order_keeps_first_occurrence(self):
+        m = TuiModel()
+        m.results = [
+            res(0x30, {97: 5}), res(0x10, {97: 1}), res(0x20, {97: 5}),
+        ]
+        assert [r[1] for r in m.visible_rows()] == ["0x30", "0x10"]
+
+    def test_rows_cache_invalidates_on_toggle(self):
+        m = TuiModel()
+        m.results = [res(0x10, {97: 1}), res(0x20, {97: 1})]
+        assert len(m.visible_rows()) == 1
+        m.handle_key("F2")  # show all
+        assert len(m.visible_rows()) == 2
+        m.handle_key("F3")  # dec offsets
+        assert m.visible_rows()[0][1] == "16"
