@@ -74,6 +74,11 @@ def main():
                     help="fused steps kept in flight (bench.py's depth)")
     ap.add_argument("--no-sweep", action="store_true",
                     help="skip the 128 KiB..16 MiB buffer-size ladder")
+    ap.add_argument("--sweep-only", action="store_true",
+                    help="re-run ONLY the host-path sweep and merge into "
+                         "the existing BENCH_DETAIL.json (the sweep never "
+                         "touches the device, so this is safe to rerun "
+                         "without disturbing recorded suite numbers)")
     args = ap.parse_args()
 
     import jax
@@ -190,7 +195,9 @@ def main():
         return best, piped, info, fallbacks
 
     results = {}
-    for name, keyword, wildcard, width in SUITES:
+    for name, keyword, wildcard, width in (
+        [] if args.sweep_only else SUITES
+    ):
         dtype = np.uint8 if width == 1 else np.uint16
         pat = compile_pattern(keyword, wildcard, dtype=dtype)
         tile_elems = (
@@ -300,13 +307,20 @@ def main():
             )
 
     out = REPO / "BENCH_DETAIL.json"
-    out.write_text(json.dumps({
+    blob = {
         "data_mb": args.mb,
         "device": str(jax.devices()[0]),
         "suites": results,
         "buffer_size_sweep_8bit": sweep,
         "buffer_size_sweep_8bit_detail": sweep_detail,
-    }, indent=2))
+    }
+    if args.sweep_only and out.exists():
+        # preserve the recorded suite numbers; refresh only the sweep
+        prior = json.loads(out.read_text())
+        prior["buffer_size_sweep_8bit"] = sweep
+        prior["buffer_size_sweep_8bit_detail"] = sweep_detail
+        blob = prior
+    out.write_text(json.dumps(blob, indent=2))
     print(f"\nwritten: {out}")
 
 
