@@ -28,7 +28,7 @@ from .pattern import CompiledPattern, PatternError, SearchMode, compile_pattern
 from .oracle import OracleSearcher, oracle_search
 from .async_search import AsyncSearch, SearchEvent
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "Endianness",
