@@ -157,6 +157,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     u.add_argument("file", nargs="?", help="file to open on startup")
     u.add_argument("--keyword", default="", help="initial keyword")
+    u.add_argument("--prefs", default=None,
+                   help="preference file (default: the user config dir, "
+                        "override with MMTPU_PREFS); display state is "
+                        "restored on start, saved on exit")
 
     return ap
 
@@ -386,7 +390,7 @@ def main(argv=None) -> int:
     if args.command == "tui":
         from .tui import run_tui
 
-        return run_tui(args.file, args.keyword)
+        return run_tui(args.file, args.keyword, prefs_path=args.prefs)
 
     return 2
 

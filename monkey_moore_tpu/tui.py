@@ -28,7 +28,53 @@ from .config import Endianness, SearchConfig
 from .i18n import _
 from .validate import check_keyword
 
-__all__ = ["TuiModel", "render_lines", "run_tui", "format_values"]
+__all__ = [
+    "TuiModel", "render_lines", "run_tui", "format_values",
+    "apply_ui_prefs", "collect_ui_prefs",
+]
+
+
+def apply_ui_prefs(model: "TuiModel", prefs) -> None:
+    """Restore display state from a loaded prefs store — the TUI analog
+    of the reference's startup restore (``monkey_frame.cpp:349-365``).
+    Only keys the FILE persisted are applied (factory defaults must not
+    override the model's own defaults)."""
+    has = prefs.loaded_keys.__contains__
+    if has("ui-state/show-all-results"):
+        model.dedup = not prefs.get_bool("ui-state/show-all-results", True)
+    if has("settings/display-offset-mode"):
+        model.hex_offsets = (
+            prefs.get("settings/display-offset-mode", "hex") == "hex"
+        )
+    if has("ui-state/search-mode"):
+        model.element_width = (
+            2 if prefs.get("ui-state/search-mode", "8-bit") == "16-bit"
+            else 1
+        )
+    if has("ui-state/endianness-little"):
+        model.endianness = (
+            Endianness.LITTLE
+            if prefs.get_bool("ui-state/endianness-little", True)
+            else Endianness.BIG
+        )
+
+
+def collect_ui_prefs(model: "TuiModel", prefs) -> None:
+    """Write the TUI display state into a prefs store for save-on-exit
+    (``monkey_app.cpp:67-72``); shares the REPL's key names."""
+    prefs.set("ui-state/show-all-results", not model.dedup)
+    prefs.set(
+        "settings/display-offset-mode",
+        "hex" if model.hex_offsets else "dec",
+    )
+    prefs.set(
+        "ui-state/search-mode",
+        "16-bit" if model.element_width == 2 else "8-bit",
+    )
+    prefs.set(
+        "ui-state/endianness-little",
+        model.endianness is Endianness.LITTLE,
+    )
 
 
 def format_values(values_map, width: int, endianness: Endianness) -> str:
@@ -377,17 +423,33 @@ _CURSES_KEYS = {
 
 
 def run_tui(file_path: Optional[str] = None, keyword: str = "",
-            stdscr=None) -> int:
+            stdscr=None, prefs_path=None) -> int:
     """Interactive curses loop (blocking).  ``stdscr=None`` wraps itself
-    via ``curses.wrapper``."""
+    via ``curses.wrapper``.  Display state (dedup, offset mode, width,
+    endianness) is restored from / saved to the user prefs store like
+    the reference frame (``monkey_frame.cpp:349-365``,
+    ``monkey_app.cpp:67-72``)."""
     import curses
 
     if stdscr is None:
         return curses.wrapper(
-            lambda scr: run_tui(file_path, keyword, stdscr=scr)
+            lambda scr: run_tui(
+                file_path, keyword, stdscr=scr, prefs_path=prefs_path
+            )
         )
 
+    from pathlib import Path
+
+    from .prefs import default_prefs_path, load_user_prefs
+
     model = TuiModel(file_path=file_path, keyword=keyword)
+    ppath = Path(prefs_path) if prefs_path else default_prefs_path()
+    if ppath.exists():
+        prefs, warning = load_user_prefs(ppath)
+        if warning:
+            model.status = f"warning: {warning} (defaults restored)"
+        else:
+            apply_ui_prefs(model, prefs)
     curses.curs_set(0)
     stdscr.nodelay(True)
     named = {
@@ -430,6 +492,21 @@ def run_tui(file_path: Optional[str] = None, keyword: str = "",
             model.handle_key(_CURSES_KEYS.get(chr(ch), chr(ch)))
     if model.search is not None and model.searching:
         model.search.abort()
+    # save-on-exit (best effort, like the REPL: an unwritable config dir
+    # must not turn quitting into an error)
+    try:
+        from .prefs import Prefs
+
+        prefs = Prefs()
+        if ppath.exists():
+            loaded, warning = load_user_prefs(ppath)
+            if not warning:
+                prefs = loaded
+        collect_ui_prefs(model, prefs)
+        ppath.parent.mkdir(parents=True, exist_ok=True)
+        prefs.save(ppath)
+    except Exception:
+        pass
     return 0
 
 
@@ -442,8 +519,9 @@ def main(argv=None) -> int:
     )
     ap.add_argument("file", nargs="?", help="binary/ROM to search")
     ap.add_argument("--keyword", default="", help="initial keyword")
+    ap.add_argument("--prefs", default=None, help="preference file")
     args = ap.parse_args(argv)
-    return run_tui(args.file, args.keyword)
+    return run_tui(args.file, args.keyword, prefs_path=args.prefs)
 
 
 if __name__ == "__main__":

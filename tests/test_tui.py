@@ -334,3 +334,52 @@ class TestReviewFindings:
         assert len(m.visible_rows()) == 2
         m.handle_key("F3")  # dec offsets
         assert m.visible_rows()[0][1] == "16"
+
+
+class TestUiPrefs:
+    """Display-state restore/save (``monkey_frame.cpp:349-365``,
+    ``monkey_app.cpp:67-72``) — shares the REPL's key names."""
+
+    def test_round_trip(self, tmp_path):
+        from monkey_moore_tpu.prefs import Prefs, load_user_prefs
+        from monkey_moore_tpu.tui import apply_ui_prefs, collect_ui_prefs
+
+        m = TuiModel()
+        m.dedup = False
+        m.hex_offsets = False
+        m.element_width = 2
+        m.endianness = Endianness.BIG
+        p = Prefs()
+        collect_ui_prefs(m, p)
+        path = tmp_path / "config.xml"
+        p.save(path)
+
+        loaded, warning = load_user_prefs(path)
+        assert warning is None
+        m2 = TuiModel()
+        apply_ui_prefs(m2, loaded)
+        assert not m2.dedup and not m2.hex_offsets
+        assert m2.element_width == 2
+        assert m2.endianness is Endianness.BIG
+
+    def test_factory_defaults_do_not_override(self, tmp_path):
+        """A prefs file that never persisted a key must leave the
+        model's own default untouched (the REPL's `has()` contract)."""
+        from monkey_moore_tpu.prefs import Prefs, load_user_prefs
+        from monkey_moore_tpu.tui import apply_ui_prefs
+
+        path = tmp_path / "config.xml"
+        p = Prefs()
+        p.set("settings/display-preview-width", 30)  # unrelated key only
+        p.save(path)
+        loaded, _ = load_user_prefs(path)
+        # strip the ui keys load_user_prefs would report as loaded
+        m = TuiModel()
+        m.dedup = True
+        apply_ui_prefs(m, loaded)
+        # saved file contains factory values for everything (Prefs()
+        # pre-populates) — show-all-results default "true" -> dedup False
+        # is applied ONLY because the key is genuinely in the file
+        assert ("ui-state/show-all-results" in loaded.loaded_keys) == (
+            not m.dedup
+        )
