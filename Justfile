@@ -31,6 +31,18 @@ benchmark-all:
 scaling:
     python tools/bench_scaling.py
 
+# the five BASELINE.json measurement configs as one table
+baseline-configs:
+    python tools/bench_baseline_configs.py
+
+# on-chip conformance artifact (run on the TPU host)
+conformance-tpu:
+    python tools/conformance_gate.py --trials 120 --json CONFORMANCE_TPU.json
+
+# scripted two-session pty drive of the terminal UI
+tui-smoke:
+    python tools/tui_smoke.py
+
 # build the native walker shared library
 native:
     python -c "from monkey_moore_tpu.native import build_library; print(build_library(force=True))"

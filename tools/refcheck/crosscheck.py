@@ -1,4 +1,8 @@
-"""Fuzz the Python oracle against the compiled reference binary."""
+"""Fuzz the Python oracle against the compiled reference binary.
+
+Usage: python tools/refcheck/crosscheck.py [SEED]
+(default seed 1234 — pass fresh seeds for additional independent sweeps)
+"""
 import subprocess
 import sys
 import numpy as np
@@ -7,7 +11,8 @@ sys.path.insert(0, "/root/repo")
 from monkey_moore_tpu.oracle import OracleSearcher
 
 REF = "/tmp/refcheck/refsearch"
-rng = np.random.default_rng(1234)
+SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 1234
+rng = np.random.default_rng(SEED)
 
 
 def run_ref(mode, width, kw_cps, wc, seq_cps, vals, data_bytes):
@@ -173,5 +178,5 @@ for t in range(100):
     trials += 1
     fails += not check("periodic", "simple", width, kw.tolist(), 0, [], [], db)
 
-print(f"{trials} trials, {fails} mismatches")
+print(f"{trials} trials, {fails} mismatches (seed {SEED})")
 sys.exit(1 if fails else 0)
