@@ -204,8 +204,11 @@ def _progress_printer(enabled: bool):
 def _print_results(results, cfg: SearchConfig, args, out=None, err=None) -> None:
     out = out or sys.stdout
     err = err if err is not None else sys.stderr
+    # values column with display byteswap (bytes in file order), mirroring
+    # ShowResults (``monkey_frame.cpp:1253-1262``) — shared with the TUI
+    from .tui import format_values
+
     width = cfg.element_width
-    digits = width * 2
     seen_maps = []
     shown = 0
     for r in results:
@@ -214,15 +217,7 @@ def _print_results(results, cfg: SearchConfig, args, out=None, err=None) -> None
                 continue
             seen_maps.append(r.values_map)
         off = f"0x{r.offset:X}" if args.offsets == "hex" else str(r.offset)
-        # values column with display byteswap (bytes in file order),
-        # mirroring ShowResults (``monkey_frame.cpp:1253-1262``)
-        parts = []
-        for char, value in r.values_map.items():
-            v = int(value)
-            if width > 1 and cfg.endianness is Endianness.LITTLE:
-                v = ((v & 0xFF) << 8) | ((v >> 8) & 0xFF)
-            parts.append(f"{chr(char)}={v:0{digits}X}")
-        line = f"{off}\t{' '.join(parts)}"
+        line = f"{off}\t{format_values(r.values_map, width, cfg.endianness)}"
         if r.preview:
             line += f"\t{r.preview}"
         print(line, file=out)

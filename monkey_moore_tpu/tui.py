@@ -117,6 +117,8 @@ class TuiModel:
     #: target, ``src/gui/drop_target.cpp:12-22``)
     open_mode: bool = False
     path_input: str = ""
+    search_events: object = None  #: queue.Queue of worker events
+    _t0: float = 0.0  #: search start time (elapsed display)
 
     # ------------------------------------------------------------------
     def visible_rows(self) -> List[Tuple[int, str, str, str]]:
@@ -205,7 +207,7 @@ class TuiModel:
     def pump_events(self) -> bool:
         """Drain worker events into the model; True if anything changed."""
         changed = False
-        q = getattr(self, "search_events", None)
+        q = self.search_events
         while q is not None:
             try:
                 ev = q.get_nowait()
@@ -367,10 +369,11 @@ def render_lines(model: TuiModel, width: int = 80,
         f"dedup={'on' if model.dedup else 'off'} "
         f"offsets={'hex' if model.hex_offsets else 'dec'}"[:w]
     )
-    gauge_w = max(10, w - 30)
+    gauge_w = max(10, w - 44)
     pct = model.progress_pct
     lines.append(
-        f" {_gauge(pct, gauge_w)} {pct:3d}%  {model.elapsed}"[:w]
+        f" {_gauge(pct, gauge_w)} {pct:3d}%  {model.progress_msg} "
+        f"{model.elapsed}"[:w]
     )
     lines.append("-" * w)
 
