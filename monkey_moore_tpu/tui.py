@@ -26,7 +26,7 @@ from typing import List, Optional, Tuple
 
 from .config import Endianness, SearchConfig
 from .i18n import _
-from .validate import check_keyword
+from .validate import ValidationError, check_keyword, parse_value_scan
 
 __all__ = [
     "TuiModel", "render_lines", "run_tui", "format_values",
@@ -57,6 +57,10 @@ def apply_ui_prefs(model: "TuiModel", prefs) -> None:
             if prefs.get_bool("ui-state/endianness-little", True)
             else Endianness.BIG
         )
+    if has("ui-state/search-type"):
+        model.value_scan = (
+            prefs.get("ui-state/search-type", "rs") == "vs"
+        )
 
 
 def collect_ui_prefs(model: "TuiModel", prefs) -> None:
@@ -74,6 +78,9 @@ def collect_ui_prefs(model: "TuiModel", prefs) -> None:
     prefs.set(
         "ui-state/endianness-little",
         model.endianness is Endianness.LITTLE,
+    )
+    prefs.set(
+        "ui-state/search-type", "vs" if model.value_scan else "rs"
     )
 
 
@@ -117,6 +124,10 @@ class TuiModel:
     #: target, ``src/gui/drop_target.cpp:12-22``)
     open_mode: bool = False
     path_input: str = ""
+    #: F7: value-scan mode — the field holds whitespace/comma-separated
+    #: non-negative decimals instead of a keyword (the reference frame's
+    #: second search type, ``monkey_frame.cpp:352``)
+    value_scan: bool = False
     search_events: object = None  #: queue.Queue of worker events
     _t0: float = 0.0  #: search start time (elapsed display)
 
@@ -169,12 +180,21 @@ class TuiModel:
         if self.searching:
             self.status = "search already running (a=abort)"
             return None
-        # the wildcard checkbox analog: '*' in the keyword enables it
-        wc = self.wildcard or ("*" if "*" in self.keyword else None)
-        warning = check_keyword(self.keyword, wc, "")
-        if warning is not None:
-            self.status = _(warning.value)
-            return None
+        values = ()
+        wc = None
+        if self.value_scan:
+            try:
+                values = parse_value_scan(self.keyword)
+            except ValidationError as e:
+                self.status = _(e.warning.value)
+                return None
+        else:
+            # the wildcard checkbox analog: '*' in the keyword enables it
+            wc = self.wildcard or ("*" if "*" in self.keyword else None)
+            warning = check_keyword(self.keyword, wc, "")
+            if warning is not None:
+                self.status = _(warning.value)
+                return None
         if not self.file_path:
             self.status = _("no file open (use: open FILE)")
             return None
@@ -182,7 +202,9 @@ class TuiModel:
             from .async_search import AsyncSearch as async_cls  # noqa: N813
         cfg = SearchConfig(
             file_path=self.file_path,
-            keyword=self.keyword,
+            is_relative_search=not values,
+            keyword="" if values else self.keyword,
+            reference_values=list(values),
             wildcard=wc or 0,
             element_width=self.element_width,
             endianness=self.endianness,
@@ -313,6 +335,13 @@ class TuiModel:
                 if self.endianness is Endianness.LITTLE
                 else Endianness.LITTLE
             )
+        elif key == "F7":
+            self.value_scan = not self.value_scan
+            self.status = (
+                "value-scan: type non-negative decimals (e.g. 40 30 20)"
+                if self.value_scan else
+                "relative search: type keyword, Enter=search"
+            )
         elif key == "a" and self.searching:
             if self.search is not None:
                 self.search.abort()
@@ -343,8 +372,8 @@ HELP_LINES = [
     "  Up/Down     select result       PgUp/PgDn  page",
     "  F2  toggle dedup-by-values-map  F3     hex/dec offsets",
     "  F4  8/16-bit width              F5     endianness",
-    "  F6  open file (type path)       Esc    quit",
-    "  F1/?        this help",
+    "  F6  open file (type path)       F7     relative/value-scan mode",
+    "  F1/?        this help           Esc    quit",
 ]
 
 
@@ -363,8 +392,9 @@ def render_lines(model: TuiModel, width: int = 80,
         lines.append(
             f" monkey-moore-tpu  {model.file_path or '(no file)'}"[:w]
         )
+    field = "values" if model.value_scan else "keyword"
     lines.append(
-        f" keyword: {model.keyword}_   "
+        f" {field}: {model.keyword}_   "
         f"[{8 * model.element_width}-bit {endian}] "
         f"dedup={'on' if model.dedup else 'off'} "
         f"offsets={'hex' if model.hex_offsets else 'dec'}"[:w]
@@ -468,6 +498,7 @@ def run_tui(file_path: Optional[str] = None, keyword: str = "",
         curses.KEY_F4: "F4",
         curses.KEY_F5: "F5",
         curses.KEY_F6: "F6",
+        curses.KEY_F7: "F7",
         127: "BACKSPACE",
     }
     while not model.quit:

@@ -383,3 +383,63 @@ class TestUiPrefs:
         assert ("ui-state/show-all-results" in loaded.loaded_keys) == (
             not m.dedup
         )
+
+
+class TestValueScanMode:
+    """F7: the reference frame's second search type
+    (``monkey_frame.cpp:352`` search-type radio)."""
+
+    def test_toggle_and_field_label(self):
+        m = TuiModel()
+        m.handle_key("F7")
+        assert m.value_scan
+        lines = render_lines(m)
+        assert lines[1].startswith(" values: ")
+        m.handle_key("F7")
+        assert not m.value_scan
+        assert render_lines(m)[1].startswith(" keyword: ")
+
+    def test_invalid_values_show_warning(self, tmp_path):
+        p = tmp_path / "x.bin"
+        p.write_bytes(b"\x00" * 64)
+        m = TuiModel(file_path=str(p), keyword="12 potato")
+        m.value_scan = True
+        m.handle_key("ENTER")
+        assert "non-negative decimal" in m.status
+
+    def test_end_to_end_value_scan(self, tmp_path):
+        data = np.zeros(4096, dtype=np.uint8)
+        seq = np.array([140, 130, 120, 110], dtype=np.uint8)
+        data[100:104] = seq
+        data[2000:2004] = seq + 50
+        p = tmp_path / "vs.bin"
+        p.write_bytes(data.tobytes())
+        m = TuiModel(file_path=str(p), keyword="40 30 20 10")
+        m.value_scan = True
+        search = m.start_search()
+        assert search is not None
+        assert search.join(timeout=60)
+        deadline = time.time() + 5
+        while m.searching and time.time() < deadline:
+            m.pump_events()
+        offs = [r[1] for r in m.visible_rows()]
+        # value-scan maps are empty -> dedup keeps the FIRST row only
+        # (the reference's unique filter sees equal empty maps)
+        assert offs == ["0x64"]
+        m.handle_key("F2")  # show all
+        assert [r[1] for r in m.visible_rows()] == ["0x64", "0x7D0"]
+
+    def test_prefs_round_trip_search_type(self, tmp_path):
+        from monkey_moore_tpu.prefs import Prefs, load_user_prefs
+        from monkey_moore_tpu.tui import apply_ui_prefs, collect_ui_prefs
+
+        m = TuiModel()
+        m.value_scan = True
+        p = Prefs()
+        collect_ui_prefs(m, p)
+        path = tmp_path / "c.xml"
+        p.save(path)
+        loaded, _w = load_user_prefs(path)
+        m2 = TuiModel()
+        apply_ui_prefs(m2, loaded)
+        assert m2.value_scan
