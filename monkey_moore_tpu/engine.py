@@ -899,7 +899,7 @@ class SearchEngine:
         order) and the final candidate set is order-independent
         (``finalize_candidates`` sorts per group).
         """
-        from .ops.scan_host import decode_grid_host, host_candidates_values
+        from .ops.scan_host import host_candidates_values, host_grid_view
 
         cfg = self.config
         s = cfg.element_width
@@ -929,11 +929,13 @@ class SearchEngine:
         for a in range(s):
             if self._element_grid(file_size, a) >= L:
                 with timer.stage("decode"):
-                    grids.append(
-                        (a, decode_grid_host(
-                            data, file_size, s, cfg.endianness, a
-                        ))
+                    # zero-copy even for 16-bit big-endian: the C scanner
+                    # byteswaps on load (host_grid_view), so no grid-sized
+                    # decode copy exists on this path at all
+                    arr, bswap = host_grid_view(
+                        data, file_size, s, cfg.endianness, a
                     )
+                    grids.append((a, arr, bswap))
         max_grid = max(
             (self._element_grid(file_size, a) for a in range(s)), default=0
         )
@@ -963,13 +965,13 @@ class SearchEngine:
             jobs = []
             for k in range(n_slices):
                 e0 = k * slice_elems
-                for a, arr in grids:
+                for a, arr, bswap in grids:
                     if e0 >= len(arr):
                         continue
                     count_here = min(slice_elems + L - 1, len(arr) - e0)
                     if count_here < L:
                         continue
-                    jobs.append((k, e0, a, arr, count_here))
+                    jobs.append((k, e0, a, arr, bswap, count_here))
             slice_jobs: dict = {}
             for k, *_ in jobs:
                 slice_jobs[k] = slice_jobs.get(k, 0) + 1
@@ -979,9 +981,9 @@ class SearchEngine:
             futs = {
                 pool.submit(
                     host_candidates_values, pat,
-                    arr[e0 : e0 + count_here],
+                    arr[e0 : e0 + count_here], bswap,
                 ): (k, e0, a, count_here)
-                for k, e0, a, arr, count_here in jobs
+                for k, e0, a, arr, bswap, count_here in jobs
             }
             try:
                 for fut in concurrent.futures.as_completed(futs):
@@ -1025,7 +1027,7 @@ class SearchEngine:
             if aborted():
                 return None
             e0 = k * slice_elems
-            for a, arr in grids:
+            for a, arr, bswap in grids:
                 n_a = len(arr)
                 if e0 >= n_a:
                     continue
@@ -1034,7 +1036,7 @@ class SearchEngine:
                     continue
                 with timer.stage("host_scan"):
                     offs, vals = host_candidates_values(
-                        pat, arr[e0 : e0 + count_here]
+                        pat, arr[e0 : e0 + count_here], bswap
                     )
                 timer.stats.bytes_scanned += count_here * s
                 record(e0, a, offs, vals)

@@ -86,7 +86,9 @@ def _load() -> Optional[ctypes.CDLL]:
                 u32p, i32p, i32p, ctypes.c_int32, ctypes.c_int32, i64p,
                 ctypes.c_int64,
             ]
-        for name in ("mm_dense_scan_u8", "mm_dense_scan_u16"):
+        for name in (
+            "mm_dense_scan_u8", "mm_dense_scan_u16", "mm_dense_scan_u16be",
+        ):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
             fn.argtypes = [
@@ -162,14 +164,18 @@ def native_walk(pat: CompiledPattern, data: np.ndarray) -> Optional[np.ndarray]:
 
 
 def native_dense_scan(
-    pat: CompiledPattern, data: np.ndarray
+    pat: CompiledPattern, data: np.ndarray, bswap: bool = False
 ) -> Optional[np.ndarray]:
     """ALL matching window starts (ascending) via the C dense scanner
     (``mm_dense_scan_*``) — same semantics as
     :func:`~monkey_moore_tpu.ops.scan_np.match_positions_np`, several GB/s on
     one core.  Returns None when the native library is unavailable (callers
     fall back to the NumPy matcher).  ctypes releases the GIL for the call,
-    so engine-level thread pools scale it across cores."""
+    so engine-level thread pools scale it across cores.
+
+    ``bswap``: *data* holds big-endian u16 elements in native (LE) view —
+    the scanner byteswaps on load, so BE searches skip the full-grid
+    decode copy (zero-copy ``adjust_endianness``)."""
     lib = _load()
     if lib is None:
         return None
@@ -182,11 +188,10 @@ def native_dense_scan(
     prev = np.ascontiguousarray(pat.chk_shift_prev, dtype=np.int32)
     expected = np.ascontiguousarray(pat.chk_expected, dtype=np.int32)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    fn = (
-        lib.mm_dense_scan_u8
-        if pat.dtype == np.dtype(np.uint8)
-        else lib.mm_dense_scan_u16
-    )
+    if pat.dtype == np.dtype(np.uint8):
+        fn = lib.mm_dense_scan_u8
+    else:
+        fn = lib.mm_dense_scan_u16be if bswap else lib.mm_dense_scan_u16
 
     def run(cap: int):
         out = np.empty(max(cap, 1), dtype=np.int64)

@@ -157,7 +157,19 @@ namespace {
 // eight entries at a time via uint64 loads, and survivors verified exactly
 // against every check.  Random data passes the primary at ~2^-w, so the
 // verification cost is negligible and throughput is the compare pass's.
-template <typename Ty, bool SIGNED>
+// BSWAP: byteswap each element on load — big-endian 16-bit data scanned
+// in place on a little-endian host (the zero-copy analog of
+// ``adjust_endianness``, byteswap.hpp:70-79; a bswap folds into the
+// vectorized compare pass at no measurable cost, where a decode pass
+// costs a full extra copy of the grid).
+template <typename Ty, bool BSWAP>
+static inline Ty ld_elem(Ty v) {
+  if constexpr (BSWAP && sizeof(Ty) == 2)
+    return (Ty)__builtin_bswap16((uint16_t)v);
+  return v;
+}
+
+template <typename Ty, bool SIGNED, bool BSWAP = false>
 int64_t dense_scan(const Ty *data, int64_t n, int32_t L, int32_t n_checks,
                    const int32_t *cur, const int32_t *prev,
                    const int32_t *expected, int64_t *out, int64_t cap) {
@@ -192,7 +204,8 @@ int64_t dense_scan(const Ty *data, int64_t n, int32_t L, int32_t n_checks,
     const int64_t m = (P - base) < B ? (P - base) : B;
     // vectorizable compare pass (wraparound subtract in the element type)
     for (int64_t i = 0; i < m; ++i)
-      mk[i] = (Ty)(pa[base + i] - pb[base + i]) == pe;
+      mk[i] = (Ty)(ld_elem<Ty, BSWAP>(pa[base + i]) -
+                   ld_elem<Ty, BSWAP>(pb[base + i])) == pe;
     for (int64_t i = m; i < ((m + 7) & ~7); ++i) mask[i] = 0;
     // sweep 8 mask entries per u64 test; candidate blocks are rare
     for (int64_t i = 0; i < m; i += 8) {
@@ -204,15 +217,15 @@ int64_t dense_scan(const Ty *data, int64_t n, int32_t L, int32_t n_checks,
         const int64_t p = base + j;
         bool ok = true;
         for (int32_t c = 0; c < n_checks; ++c) {
+          const Ty a = ld_elem<Ty, BSWAP>(data[p + cur[c]]);
+          const Ty b = ld_elem<Ty, BSWAP>(data[p + prev[c]]);
           if (SIGNED) {
-            if ((int32_t)data[p + cur[c]] - (int32_t)data[p + prev[c]] !=
-                expected[c]) {
+            if ((int32_t)a - (int32_t)b != expected[c]) {
               ok = false;
               break;
             }
           } else {
-            if ((Ty)(data[p + cur[c]] - data[p + prev[c]]) !=
-                (Ty)expected[c]) {
+            if ((Ty)(a - b) != (Ty)expected[c]) {
               ok = false;
               break;
             }
@@ -252,6 +265,20 @@ int64_t mm_dense_scan_u16(const uint16_t *data, int64_t n, int32_t L,
                                           expected, out, cap)
              : dense_scan<uint16_t, false>(data, n, L, n_checks, cur, prev,
                                            expected, out, cap);
+}
+
+// big-endian u16 data scanned IN PLACE on a little-endian host: the
+// byteswap happens on load inside the vectorized compare pass, replacing
+// the full-grid decode copy the BE path otherwise pays
+int64_t mm_dense_scan_u16be(const uint16_t *data, int64_t n, int32_t L,
+                            int32_t n_checks, const int32_t *cur,
+                            const int32_t *prev, const int32_t *expected,
+                            int32_t signed_mode, int64_t *out, int64_t cap) {
+  return signed_mode
+             ? dense_scan<uint16_t, true, true>(data, n, L, n_checks, cur,
+                                                prev, expected, out, cap)
+             : dense_scan<uint16_t, false, true>(data, n, L, n_checks, cur,
+                                                 prev, expected, out, cap);
 }
 
 }  // extern "C"

@@ -25,35 +25,71 @@ from ..pattern import CompiledPattern
 from .recover import recovery_shifts
 from .scan_np import match_positions_np
 
-__all__ = ["host_candidates", "host_candidates_values", "decode_grid_host"]
+__all__ = [
+    "host_candidates",
+    "host_candidates_values",
+    "decode_grid_host",
+    "host_grid_view",
+]
 
 
-def host_candidates(pat: CompiledPattern, arr: np.ndarray) -> np.ndarray:
+def host_candidates(
+    pat: CompiledPattern, arr: np.ndarray, bswap: bool = False
+) -> np.ndarray:
     """ALL matching window starts in *arr*, ascending — native C scanner
-    when available, NumPy matcher otherwise."""
+    when available, NumPy matcher otherwise.
+
+    ``bswap``: *arr* is a native-order view of big-endian u16 bytes; the
+    C scanner byteswaps on load (zero-copy).  The NumPy fallback pays the
+    byteswap copy the native path avoids."""
     from ..native import native_dense_scan
 
-    offs = native_dense_scan(pat, arr)
+    offs = native_dense_scan(pat, arr, bswap=bswap)
     if offs is None:
-        offs = match_positions_np(pat, arr)
+        offs = match_positions_np(pat, arr.byteswap() if bswap else arr)
     return offs
 
 
 def host_candidates_values(
-    pat: CompiledPattern, arr: np.ndarray
+    pat: CompiledPattern, arr: np.ndarray, bswap: bool = False
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(offsets, recovery values [M, 2]) — the host twin of the fused
     device step's output."""
-    offs = host_candidates(pat, arr)
+    offs = host_candidates(pat, arr, bswap=bswap)
     if len(offs) == 0:
         return offs, np.zeros((0, 2), dtype=np.int64)
     shifts = recovery_shifts(pat)
     n = len(arr)
-    v0 = arr[np.minimum(offs + shifts[0], n - 1)].astype(np.int64)
+    v0 = arr[np.minimum(offs + shifts[0], n - 1)]
     v1 = arr[
         np.minimum(offs + (shifts[1] if len(shifts) > 1 else shifts[0]), n - 1)
-    ].astype(np.int64)
-    return offs, np.stack([v0, v1], axis=1)
+    ]
+    if bswap:
+        # the gathered candidates are O(matches) — swap just those
+        v0, v1 = v0.byteswap(), v1.byteswap()
+    return offs, np.stack(
+        [v0.astype(np.int64), v1.astype(np.int64)], axis=1
+    )
+
+
+def host_grid_view(
+    data: np.ndarray,
+    file_size: int,
+    element_width: int,
+    endianness: Endianness,
+    align: int,
+) -> Tuple[np.ndarray, bool]:
+    """(element view, needs_bswap) for the host scan path: identical to
+    :func:`decode_grid_host` except 16-bit big-endian returns the raw
+    native-order view plus ``True`` — the C scanner byteswaps on load, so
+    BE searches skip the full-grid decode copy entirely."""
+    s = element_width
+    if s == 1 or endianness is not Endianness.BIG:
+        return decode_grid_host(
+            data, file_size, s, endianness, align
+        ), False
+    count = max(0, (file_size - align) // s)
+    return data[align : align + count * s].view(np.uint16), True
 
 
 def decode_grid_host(

@@ -188,3 +188,81 @@ class TestNativeDenseScan:
         want = match_positions_np(pat, data)
         assert len(got) > 65536
         assert got.tolist() == want.tolist()
+
+
+class TestNativeDenseScanBswap:
+    """``mm_dense_scan_u16be``: big-endian u16 scanned in place (byteswap
+    on load) must agree with the scanner run on a byteswapped copy."""
+
+    def test_fuzz_bswap_vs_swapped_copy(self, rng):
+        from monkey_moore_tpu.native import native_dense_scan
+        from monkey_moore_tpu.ops.scan_np import match_positions_np
+
+        letters = np.arange(97, 123)
+        for trial in range(40):
+            n = int(rng.integers(6, 4000))
+            data = rng.integers(0, 65536, n)
+            kw = rng.choice(letters, int(rng.integers(2, 8))).tolist()
+            use_wc = len(kw) >= 3 and rng.random() < 0.4
+            if use_wc:
+                for i in range(1, len(kw) - 1):
+                    if rng.random() < 0.3:
+                        kw[i] = ord("*")
+            for _ in range(int(rng.integers(0, 5))):
+                pos = int(rng.integers(0, max(1, n - len(kw))))
+                data[pos : pos + len(kw)] = (
+                    np.array(kw) + int(rng.integers(-40, 40))
+                ) % 65536
+            pat = compile_pattern(
+                kw, "*" if use_wc else 0, dtype=np.uint16
+            )
+            true_vals = data.astype(np.uint16)  # the BE-decoded values
+            # the raw native-order view of those values stored big-endian
+            raw_view = true_vals.astype(">u2").tobytes()
+            arr = np.frombuffer(raw_view, dtype=np.uint16)
+            got = native_dense_scan(pat, arr, bswap=True)
+            assert got is not None
+            want = match_positions_np(pat, true_vals)
+            assert got.tolist() == want.tolist(), (kw, trial)
+
+    def test_host_candidates_values_bswap_recovery(self, rng):
+        """Recovery values must be the TRUE (decoded) element values even
+        when the grid is a zero-copy native-order view of BE data."""
+        from monkey_moore_tpu.ops.scan_host import host_candidates_values
+
+        pat = compile_pattern("monkey", dtype=np.uint16)
+        true_vals = rng.integers(0, 65536, 500).astype(np.uint16)
+        enc = (np.array(pat.keyword) + 1000) % 65536
+        true_vals[100:106] = enc
+        arr = np.frombuffer(
+            true_vals.astype(">u2").tobytes(), dtype=np.uint16
+        )
+        offs, vals = host_candidates_values(pat, arr, bswap=True)
+        assert offs.tolist() == [100]
+        # v0 is the value at the recovery shift — a true decoded value
+        assert 0 <= int(vals[0, 0]) < 65536
+        assert int(vals[0, 0]) in set(enc.astype(np.int64).tolist())
+
+    def test_engine_be_results_and_zero_decode_copy(self, tmp_path, rng):
+        """Engine-level: a BE 16-bit host search returns the identical
+        results as before (vs the oracle-backed REFERENCE walk grid) with
+        the zero-copy view path."""
+        from monkey_moore_tpu.config import Endianness, SearchConfig
+        from monkey_moore_tpu.engine import SearchEngine
+
+        n = 60_000
+        true_vals = rng.integers(0, 65536, n).astype(np.uint16)
+        pat = compile_pattern("monkey", dtype=np.uint16)
+        enc = (np.array(pat.keyword) + 777) % 65536
+        true_vals[1234:1240] = enc
+        true_vals[30001:30007] = enc
+        p = tmp_path / "be.bin"
+        p.write_bytes(true_vals.astype(">u2").tobytes())
+        cfg = SearchConfig(
+            file_path=p, keyword="monkey", element_width=2,
+            endianness=Endianness.BIG,
+        )
+        e = SearchEngine(cfg)
+        offs = [r.offset for r in e.run()]
+        assert e.last_stats.host_routed
+        assert offs == [2468, 60002]
