@@ -128,6 +128,13 @@ class TuiModel:
     #: non-negative decimals instead of a keyword (the reference frame's
     #: second search type, ``monkey_frame.cpp:352``)
     value_scan: bool = False
+    #: custom character sequence (the reference frame's charset field);
+    #: F8 enters sequence-edit mode — literal chars, or ``@name`` to pull
+    #: a named sequence from the SequenceStore (hiragana/katakana
+    #: defaults), or empty to clear
+    char_seq: str = ""
+    seq_mode: bool = False
+    seq_input: str = ""
     search_events: object = None  #: queue.Queue of worker events
     _t0: float = 0.0  #: search start time (elapsed display)
 
@@ -191,7 +198,7 @@ class TuiModel:
         else:
             # the wildcard checkbox analog: '*' in the keyword enables it
             wc = self.wildcard or ("*" if "*" in self.keyword else None)
-            warning = check_keyword(self.keyword, wc, "")
+            warning = check_keyword(self.keyword, wc, self.char_seq)
             if warning is not None:
                 self.status = _(warning.value)
                 return None
@@ -206,6 +213,7 @@ class TuiModel:
             keyword="" if values else self.keyword,
             reference_values=list(values),
             wildcard=wc or 0,
+            custom_char_seq=self.char_seq,
             element_width=self.element_width,
             endianness=self.endianness,
         )
@@ -290,6 +298,39 @@ class TuiModel:
             elif len(key) == 1 and key.isprintable():
                 self.path_input += key
             return
+        if self.seq_mode:
+            # sequence entry consumes every key until ENTER/ESC
+            if key == "ENTER":
+                self.seq_mode = False
+                text = self.seq_input.strip()
+                if text.startswith("@"):
+                    from .sequences import SequenceStore
+
+                    store = SequenceStore()
+                    probe = text[1:].lower()
+                    match = next(
+                        (n for n in store.names()
+                         if probe in n.lower()), None,
+                    )
+                    if match is None:
+                        self.status = f"no sequence matching {text[1:]!r}"
+                        return
+                    self.char_seq = store.get(match)
+                    self.status = f"sequence: {match}"
+                else:
+                    self.char_seq = text
+                    self.status = (
+                        f"sequence set ({len(text)} chars)" if text
+                        else "sequence cleared"
+                    )
+            elif key == "ESC":
+                self.seq_mode = False
+                self.status = "sequence edit cancelled"
+            elif key == "BACKSPACE":
+                self.seq_input = self.seq_input[:-1]
+            elif len(key) == 1 and key.isprintable():
+                self.seq_input += key
+            return
         if key == "ESC":
             if self.searching and self.search is not None:
                 self.search.abort()
@@ -342,6 +383,13 @@ class TuiModel:
                 if self.value_scan else
                 "relative search: type keyword, Enter=search"
             )
+        elif key == "F8":
+            self.seq_mode = True
+            self.seq_input = self.char_seq
+            self.status = (
+                "sequence: type chars, @name for a stored sequence, "
+                "empty clears, Enter=set, Esc=cancel"
+            )
         elif key == "a" and self.searching:
             if self.search is not None:
                 self.search.abort()
@@ -373,6 +421,7 @@ HELP_LINES = [
     "  F2  toggle dedup-by-values-map  F3     hex/dec offsets",
     "  F4  8/16-bit width              F5     endianness",
     "  F6  open file (type path)       F7     relative/value-scan mode",
+    "  F8  custom sequence (@name = stored; empty clears)",
     "  F1/?        this help           Esc    quit",
 ]
 
@@ -392,9 +441,12 @@ def render_lines(model: TuiModel, width: int = 80,
         lines.append(
             f" monkey-moore-tpu  {model.file_path or '(no file)'}"[:w]
         )
+    if model.seq_mode:
+        lines[0] = f" sequence: {model.seq_input}_"[:w]
     field = "values" if model.value_scan else "keyword"
+    seq_tag = f" seq[{len(model.char_seq)}]" if model.char_seq else ""
     lines.append(
-        f" {field}: {model.keyword}_   "
+        f" {field}: {model.keyword}_  {seq_tag} "
         f"[{8 * model.element_width}-bit {endian}] "
         f"dedup={'on' if model.dedup else 'off'} "
         f"offsets={'hex' if model.hex_offsets else 'dec'}"[:w]
@@ -499,6 +551,7 @@ def run_tui(file_path: Optional[str] = None, keyword: str = "",
         curses.KEY_F5: "F5",
         curses.KEY_F6: "F6",
         curses.KEY_F7: "F7",
+        curses.KEY_F8: "F8",
         127: "BACKSPACE",
     }
     while not model.quit:

@@ -443,3 +443,80 @@ class TestValueScanMode:
         m2 = TuiModel()
         apply_ui_prefs(m2, loaded)
         assert m2.value_scan
+
+
+class TestCustomSequenceMode:
+    """F8: the reference frame's charset field + named-sequence store
+    (``monkey_frame.cpp`` advanced panel; ``constants.hpp:48-49``)."""
+
+    def _type(self, m, text):
+        for c in text:
+            m.handle_key(c)
+
+    def test_literal_sequence_set_and_clear(self):
+        m = TuiModel()
+        m.handle_key("F8")
+        assert m.seq_mode
+        self._type(m, "aiueo")
+        m.handle_key("ENTER")
+        assert m.char_seq == "aiueo" and not m.seq_mode
+        m.handle_key("F8")
+        for _ in range(9):
+            m.handle_key("BACKSPACE")
+        m.handle_key("ENTER")
+        assert m.char_seq == "" and "cleared" in m.status
+
+    def test_named_sequence_lookup(self):
+        from monkey_moore_tpu.sequences import DEFAULT_HIRAGANA
+
+        m = TuiModel()
+        m.handle_key("F8")
+        self._type(m, "@hiragana")
+        m.handle_key("ENTER")
+        assert m.char_seq == DEFAULT_HIRAGANA
+        m.handle_key("F8")
+        m.seq_input = "@nosuchseq"
+        m.handle_key("ENTER")
+        assert m.char_seq == DEFAULT_HIRAGANA  # unchanged
+        assert "no sequence matching" in m.status
+
+    def test_escape_cancels(self):
+        m = TuiModel()
+        m.char_seq = "abc"
+        m.handle_key("F8")
+        self._type(m, "zzz")
+        m.handle_key("ESC")
+        assert m.char_seq == "abc" and not m.seq_mode
+
+    def test_validation_uses_sequence(self, tmp_path):
+        p = tmp_path / "x.bin"
+        p.write_bytes(b"\x00" * 64)
+        m = TuiModel(file_path=str(p), keyword="xyz")
+        m.char_seq = "aiueo"  # keyword chars not in sequence
+        m.handle_key("ENTER")
+        assert "defined charset" in m.status
+
+    def test_end_to_end_sequence_search(self, tmp_path):
+        from monkey_moore_tpu.sequences import DEFAULT_HIRAGANA
+
+        seq = DEFAULT_HIRAGANA
+        idx = {c: i for i, c in enumerate(seq)}
+        kw = seq[1] + seq[3] + seq[5] + seq[2]
+        data = np.zeros(4096, dtype=np.uint8)
+        enc = np.array([(idx[c] + 40) % 256 for c in kw], dtype=np.uint8)
+        data[512 : 512 + 4] = enc
+        p = tmp_path / "kana.bin"
+        p.write_bytes(data.tobytes())
+        m = TuiModel(file_path=str(p), keyword=kw)
+        m.handle_key("F8")
+        self._type(m, "@hiragana")
+        m.handle_key("ENTER")
+        search = m.start_search()
+        assert search is not None and search.join(timeout=60)
+        deadline = time.time() + 5
+        while m.searching and time.time() < deadline:
+            m.pump_events()
+        offs = [r[1] for r in m.visible_rows()]
+        assert "0x200" in offs
+        # header shows the active sequence tag
+        assert f"seq[{len(seq)}]" in render_lines(m)[1]
