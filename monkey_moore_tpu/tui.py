@@ -43,8 +43,9 @@ def apply_ui_prefs(model: "TuiModel", prefs) -> None:
     if has("ui-state/show-all-results"):
         model.dedup = not prefs.get_bool("ui-state/show-all-results", True)
     if has("settings/display-offset-mode"):
+        # normalize like the REPL: anything but the exact "dec" is hex
         model.hex_offsets = (
-            prefs.get("settings/display-offset-mode", "hex") == "hex"
+            prefs.get("settings/display-offset-mode", "hex") != "dec"
         )
     if has("ui-state/search-mode"):
         model.element_width = (
@@ -58,8 +59,10 @@ def apply_ui_prefs(model: "TuiModel", prefs) -> None:
             else Endianness.BIG
         )
     if has("ui-state/search-type"):
+        # the reference's on-disk vocabulary is "rs" / "vsr"
+        # (``monkey_frame.cpp:878``); anything but "vsr" means relative
         model.value_scan = (
-            prefs.get("ui-state/search-type", "rs") == "vs"
+            prefs.get("ui-state/search-type", "rs") == "vsr"
         )
 
 
@@ -80,7 +83,7 @@ def collect_ui_prefs(model: "TuiModel", prefs) -> None:
         model.endianness is Endianness.LITTLE,
     )
     prefs.set(
-        "ui-state/search-type", "vs" if model.value_scan else "rs"
+        "ui-state/search-type", "vsr" if model.value_scan else "rs"
     )
 
 
@@ -589,6 +592,15 @@ def run_tui(file_path: Optional[str] = None, keyword: str = "",
             loaded, warning = load_user_prefs(ppath)
             if not warning:
                 prefs = loaded
+        # Persist ONLY keys the FILE already carried plus the TUI-owned
+        # display keys.  Writing the factory map would make every default
+        # look user-persisted to later sessions — e.g. the factory
+        # perf-memory-pool (the GUI's 8 MiB) would silently override the
+        # REPL's 512 KiB engine default on its next load.
+        prefs.values = {
+            k: v for k, v in prefs.values.items()
+            if k in prefs.loaded_keys
+        }
         collect_ui_prefs(model, prefs)
         ppath.parent.mkdir(parents=True, exist_ok=True)
         prefs.save(ppath)

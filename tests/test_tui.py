@@ -520,3 +520,103 @@ class TestCustomSequenceMode:
         assert "0x200" in offs
         # header shows the active sequence tag
         assert f"seq[{len(seq)}]" in render_lines(m)[1]
+
+
+class TestPrefsContract:
+    """Round-5 review regressions: the TUI must not make factory defaults
+    look user-persisted, and must speak the reference's on-disk
+    vocabulary."""
+
+    def test_search_type_uses_reference_vocabulary(self, tmp_path):
+        # the reference writes "rs"/"vsr" (monkey_frame.cpp:878)
+        from monkey_moore_tpu.prefs import Prefs, load_user_prefs
+        from monkey_moore_tpu.tui import apply_ui_prefs, collect_ui_prefs
+
+        m = TuiModel()
+        m.value_scan = True
+        p = Prefs()
+        collect_ui_prefs(m, p)
+        assert p.get("ui-state/search-type") == "vsr"
+        # a reference-written file restores value-scan mode
+        path = tmp_path / "ref.xml"
+        p2 = Prefs()
+        p2.set("ui-state/search-type", "vsr")
+        p2.save(path)
+        loaded, _ = load_user_prefs(path)
+        m2 = TuiModel()
+        apply_ui_prefs(m2, loaded)
+        assert m2.value_scan
+
+    def test_offset_mode_polarity_matches_repl(self, tmp_path):
+        # anything but the exact "dec" means hex (repl.py normalization)
+        from monkey_moore_tpu.prefs import Prefs, load_user_prefs
+        from monkey_moore_tpu.tui import apply_ui_prefs
+
+        path = tmp_path / "odd.xml"
+        p = Prefs()
+        p.set("settings/display-offset-mode", "hexadecimal")
+        p.save(path)
+        loaded, _ = load_user_prefs(path)
+        m = TuiModel()
+        m.hex_offsets = False
+        apply_ui_prefs(m, loaded)
+        assert m.hex_offsets  # unexpected value -> hex, like the REPL
+
+    def test_exit_save_does_not_persist_factory_defaults(
+        self, tmp_path, monkeypatch
+    ):
+        """A TUI session against a fresh prefs path must write ONLY the
+        TUI-owned display keys — writing the factory map would make the
+        GUI's 8 MiB perf-memory-pool look user-persisted and override
+        the REPL's 512 KiB engine default on its next load."""
+        import curses as _curses
+
+        from monkey_moore_tpu import tui as tui_mod
+        from monkey_moore_tpu.prefs import load_user_prefs
+
+        path = tmp_path / "fresh.xml"
+
+        # run the curses driver headless: fake stdscr that quits at once
+        class FakeScr:
+            def getmaxyx(self):
+                return (24, 80)
+
+            def addstr(self, *a):
+                pass
+
+            def refresh(self):
+                pass
+
+            def nodelay(self, *_):
+                pass
+
+            def getch(self):
+                return 27  # ESC
+
+        monkeypatch.setattr(_curses, "curs_set", lambda *_: None,
+                            raising=False)
+        for name, val in (
+            ("KEY_ENTER", 343), ("KEY_UP", 259), ("KEY_DOWN", 258),
+            ("KEY_PPAGE", 339), ("KEY_NPAGE", 338),
+            ("KEY_BACKSPACE", 263), ("KEY_F1", 265), ("KEY_F2", 266),
+            ("KEY_F3", 267), ("KEY_F4", 268), ("KEY_F5", 269),
+            ("KEY_F6", 270), ("KEY_F7", 271), ("KEY_F8", 272),
+        ):
+            monkeypatch.setattr(_curses, name, val, raising=False)
+        rc = tui_mod.run_tui(None, "", stdscr=FakeScr(),
+                             prefs_path=path)
+        assert rc == 0 and path.exists()
+        loaded, warning = load_user_prefs(path)
+        assert warning is None
+        assert "settings/perf-memory-pool" not in loaded.loaded_keys
+        assert "settings/perf-search-threads" not in loaded.loaded_keys
+        assert "ui-state/show-all-results" in loaded.loaded_keys
+        # the REPL's own keys survive a TUI round trip when present
+        from monkey_moore_tpu.prefs import Prefs
+
+        p = Prefs()
+        p.set("settings/perf-search-threads", 7)
+        p.save(path)
+        tui_mod.run_tui(None, "", stdscr=FakeScr(), prefs_path=path)
+        loaded2, _ = load_user_prefs(path)
+        assert loaded2.get_int("settings/perf-search-threads") == 7

@@ -99,7 +99,12 @@ def main():
 
     from bench import HBM_GBPS  # shared per-chip HBM read-bandwidth table
 
-    roofline_gbps = HBM_GBPS.get(jax.devices()[0].device_kind)
+    # device queries only when the suites run — the host-only sweep
+    # refresh (--sweep-only) must not initialize the backend at all
+    roofline_gbps = (
+        None if args.sweep_only
+        else HBM_GBPS.get(jax.devices()[0].device_kind)
+    )
 
     baselines = {}
     try:
@@ -110,19 +115,27 @@ def main():
     except Exception:
         pass
 
-    n_bytes = args.mb * 1024 * 1024
-    dev0 = jax.devices()[0]
-    try:
-        limit = dev0.memory_stats().get("bytes_limit")
-    except Exception:
-        limit = None
-    if limit is not None and n_bytes + (256 << 20) > limit:
-        print(
-            f"error: --mb {args.mb} needs {n_bytes + (256 << 20)} bytes "
-            f"but {dev0.device_kind} provides {limit}; lower --mb",
-            file=sys.stderr,
-        )
+    if args.sweep_only and args.no_sweep:
+        print("error: --sweep-only and --no-sweep are contradictory",
+              file=sys.stderr)
         return 1
+    n_bytes = args.mb * 1024 * 1024
+    if not args.sweep_only:
+        # device capacity gate — irrelevant (and skipped) for the
+        # host-only sweep refresh, which must not depend on device state
+        dev0 = jax.devices()[0]
+        try:
+            limit = dev0.memory_stats().get("bytes_limit")
+        except Exception:
+            limit = None
+        if limit is not None and n_bytes + (256 << 20) > limit:
+            print(
+                f"error: --mb {args.mb} needs {n_bytes + (256 << 20)} "
+                f"bytes but {dev0.device_kind} provides {limit}; lower "
+                "--mb",
+                file=sys.stderr,
+            )
+            return 1
     host_raw = None  # lazy host buffer for non-packed backends
 
     def bench_step(pat, n, width, tile_elems, size_bytes):
@@ -307,22 +320,23 @@ def main():
             )
 
     out = REPO / "BENCH_DETAIL.json"
-    blob = {
-        "data_mb": args.mb,
-        "device": str(jax.devices()[0]),
-        "suites": results,
-        "buffer_size_sweep_8bit": sweep,
-        "buffer_size_sweep_8bit_detail": sweep_detail,
-    }
     if args.sweep_only and out.exists():
-        # preserve the recorded suite numbers; refresh only the sweep
-        prior = json.loads(out.read_text())
-        prior["buffer_size_sweep_8bit"] = sweep
-        prior["buffer_size_sweep_8bit_detail"] = sweep_detail
-        blob = prior
+        # preserve the recorded suite numbers (and device field); refresh
+        # only the sweep
+        blob = json.loads(out.read_text())
+        blob["buffer_size_sweep_8bit"] = sweep
+        blob["buffer_size_sweep_8bit_detail"] = sweep_detail
+    else:
+        blob = {
+            "data_mb": args.mb,
+            "device": str(jax.devices()[0]),
+            "suites": results,
+            "buffer_size_sweep_8bit": sweep,
+            "buffer_size_sweep_8bit_detail": sweep_detail,
+        }
     out.write_text(json.dumps(blob, indent=2))
     print(f"\nwritten: {out}")
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)

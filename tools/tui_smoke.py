@@ -33,6 +33,12 @@ ESC, ENTER = b"\x1b", b"\r"
 
 
 def run_session(rom, prefs, keys):
+    """Drive one TUI session.  ``keys`` is a list of (bytes, expect)
+    pairs: after sending the bytes, the session polls the (ANSI-stripped)
+    screen buffer until ``expect`` appears or a 60 s deadline passes —
+    deterministic on slow CI runners, unlike fixed sleeps (the first
+    Enter triggers the lazy engine import, which can take many seconds
+    cold)."""
     pid, fd = pty.fork()
     if pid == 0:
         os.environ["TERM"] = "xterm"
@@ -56,10 +62,22 @@ def run_session(rom, prefs, keys):
                 except OSError:
                     return
 
-    drain(3.0)
-    for key, wait in keys:
+    def wait_for(expect, timeout=60.0):
+        nonlocal buf
+        end = time.time() + timeout
+        while time.time() < end:
+            if expect in ANSI.sub("", buf.decode("utf-8", "replace")):
+                return True
+            drain(0.3)
+        return False
+
+    wait_for("keyword: monkey_", timeout=30.0)  # initial paint
+    for key, expect in keys:
         os.write(fd, key)
-        drain(wait)
+        if expect:
+            wait_for(expect)
+        else:
+            drain(0.5)
     os.write(fd, ESC)
     drain(2.0)
     try:
@@ -82,7 +100,10 @@ def main():
     data[9000:9006] = enc  # same equivalency map -> deduped to one row
     rom.write_bytes(data.tobytes())
 
-    s1 = run_session(rom, prefs, [(ENTER, 8.0), (F2, 0.5), (F3, 0.5)])
+    s1 = run_session(
+        rom, prefs,
+        [(ENTER, "result(s)"), (F2, "dedup=off"), (F3, "offsets=dec")],
+    )
     checks = {
         "file shown": str(rom) in s1,
         "keyword field": "keyword: monkey_" in s1,
