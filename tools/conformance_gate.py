@@ -98,6 +98,9 @@ def main():
                     help="write the gate result as a JSON artifact (used "
                          "for the per-round on-TPU record, "
                          "CONFORMANCE_TPU.json)")
+    ap.add_argument("--multi-trials", type=int, default=None,
+                    help="multi-keyword batch trials (MultiSearcher vs "
+                         "per-keyword engines; default trials//4)")
     args = ap.parse_args()
 
     import os
@@ -320,8 +323,122 @@ def main():
                          got[:5])
                     )
 
+    # ------------------------------------------------------------------
+    # Multi-keyword batch trials: MultiSearcher (the K-scaled fused batch
+    # kernel / per-keyword fallback) must return, per keyword, EXACTLY the
+    # offsets the single-keyword engine returns under an identical config
+    # — the single path is itself oracle-gated above, so equality here
+    # transitively conforms the batch path.
+    n_multi = (
+        args.multi_trials
+        if args.multi_trials is not None
+        else args.trials // 4
+    )
+    multi_checked = 0
+    with tempfile.TemporaryDirectory() as td:
+        from monkey_moore_tpu.multi import MultiSearcher
+
+        lower = list(string.ascii_lowercase)
+        for t in range(n_multi):
+            width = int(rng.integers(1, 3))
+            endian = rng.choice([Endianness.LITTLE, Endianness.BIG])
+            mod = 256 if width == 1 else 65536
+            dtype = np.uint8 if width == 1 else np.uint16
+            n = int(rng.integers(500, 30000))
+            data = rng.integers(0, mod, n)
+            k = int(rng.integers(2, 5))
+            specs = []
+            for _ in range(k):
+                mode = rng.choice(["plain", "wildcard", "value"],
+                                  p=[0.5, 0.3, 0.2])
+                if mode == "value":
+                    specs.append({
+                        "reference_values": [
+                            int(v) for v in rng.integers(0, mod, 4)
+                        ]
+                    })
+                else:
+                    kw_len = int(rng.integers(3, 8))
+                    chars = list(rng.choice(lower, kw_len))
+                    wc = 0
+                    if mode == "wildcard" and kw_len >= 4:
+                        chars[int(rng.integers(1, kw_len - 1))] = "*"
+                        wc = "*"
+                    specs.append(
+                        {"keyword": "".join(chars), "wildcard": wc}
+                        if wc else "".join(chars)
+                    )
+            # plant a few shifted matches for the keyword specs
+            for spec in specs:
+                kw = spec if isinstance(spec, str) else spec.get(
+                    "keyword", "")
+                if not kw:
+                    continue
+                for _ in range(int(rng.integers(0, 3))):
+                    pos = int(rng.integers(0, max(1, n - len(kw))))
+                    shift = int(rng.integers(-20, 20))
+                    data[pos : pos + len(kw)] = [
+                        (ord(c) + shift) % mod if c != "*"
+                        else int(rng.integers(0, mod))
+                        for c in kw
+                    ]
+            path = Path(td) / f"m{t}.bin"
+            order = "<u2" if endian is Endianness.LITTLE else ">u2"
+            path.write_bytes(
+                data.astype(dtype).astype(order).tobytes()
+                if width == 2 else data.astype(dtype).tobytes()
+            )
+            common = dict(
+                element_width=width, endianness=endian,
+                preferred_search_block_size=int(
+                    rng.choice([1024, 524288])
+                ),
+                device_chunk_bytes=int(rng.choice([8192, 1 << 20])),
+            )
+            ms = MultiSearcher(
+                path,
+                devices=(
+                    list(jax.devices()[: int(rng.choice([2, 4]))])
+                    if t % 3 == 2 and len(jax.devices()) >= 2
+                    else None
+                ),
+                **common,
+            )
+            groups = ms.search(specs)
+            for spec, group in zip(specs, groups):
+                kwargs = (
+                    {"keyword": spec} if isinstance(spec, str)
+                    else dict(spec)
+                )
+                cfg = SearchConfig(
+                    file_path=path,
+                    is_relative_search="reference_values" not in kwargs,
+                    keyword=kwargs.get("keyword", ""),
+                    wildcard=kwargs.get("wildcard", 0) or 0,
+                    reference_values=list(
+                        kwargs.get("reference_values", ())
+                    ),
+                    host_latency_threshold_bytes=(
+                        1 << 40 if t % 3 == 0 else 0
+                    ),
+                    **common,
+                )
+                want = [r.offset for r in SearchEngine(cfg).run()]
+                got = [r.offset for r in group]
+                multi_checked += 1
+                if got == want:
+                    passed += 1
+                else:
+                    failed += 1
+                    failures.append(
+                        ("multi", t, spec, width, endian.value,
+                         want[:5], got[:5])
+                    )
+
     total = passed + failed + known_divergence
     modes_str = " ".join(f"{m}={c}" for m, c in sorted(mode_counts.items()))
+    if multi_checked:
+        modes_str += f" multi={multi_checked}"
     print(f"conformance: {passed}/{total} passed "
           f"({100.0 * passed / max(1, total):.2f}%), "
           f"{known_divergence} known-divergence "
