@@ -153,6 +153,8 @@ class Repl:
             self.wildcard = prefs.get("ui-state/wildcard", "*") or "*"
         if has("ui-state/show-all-results"):
             self.dedup = not prefs.get_bool("ui-state/show-all-results", True)
+        if has("directories/open-file"):
+            self.open_dir = prefs.get("directories/open-file", "")
         if has("settings/perf-match-semantics"):
             try:
                 self.semantics = MatchSemantics(
@@ -175,6 +177,12 @@ class Repl:
         # the key so the session default survives; a hand-edited file
         # still loads
         prefs.values.pop("settings/perf-memory-pool", None)
+        # unmanaged keys must not be written as factory values (they would
+        # look user-persisted to other frontends, e.g. overwrite the TUI's
+        # remembered open directory with "")
+        prefs.values.pop("directories/save-table", None)
+        if not getattr(self, "open_dir", ""):
+            prefs.values.pop("directories/open-file", None)
         prefs.set(
             "settings/perf-search-threads", self.threads or 4
         )
@@ -194,6 +202,8 @@ class Repl:
                   self.endian is Endianness.LITTLE)
         prefs.set("ui-state/wildcard", self.wildcard)
         prefs.set("ui-state/show-all-results", not self.dedup)
+        if getattr(self, "open_dir", ""):
+            prefs.set("directories/open-file", self.open_dir)
         path = Path(self._prefs_path)
         try:
             path.parent.mkdir(parents=True, exist_ok=True)
@@ -278,6 +288,9 @@ class Repl:
             self._say(f"error: unable to open {path}: file not found.")
             return
         self.file = path
+        # remember the directory like the reference's open dialog
+        # (``monkey_frame.cpp:413``) — persisted via prefs on exit
+        self.open_dir = str(path.resolve().parent)
         self.last_results = []
         self.pending_table = None  # grid was built from the previous file
         self._invalidate()

@@ -64,6 +64,10 @@ def apply_ui_prefs(model: "TuiModel", prefs) -> None:
         model.value_scan = (
             prefs.get("ui-state/search-type", "rs") == "vsr"
         )
+    if has("directories/open-file"):
+        # the reference's file-dialog start directory
+        # (``monkey_frame.cpp:396,413``) — prefills F6 path entry
+        model.last_dir = prefs.get("directories/open-file", "")
 
 
 def collect_ui_prefs(model: "TuiModel", prefs) -> None:
@@ -85,6 +89,8 @@ def collect_ui_prefs(model: "TuiModel", prefs) -> None:
     prefs.set(
         "ui-state/search-type", "vsr" if model.value_scan else "rs"
     )
+    if model.last_dir:
+        prefs.set("directories/open-file", model.last_dir)
 
 
 def format_values(values_map, width: int, endianness: Endianness) -> str:
@@ -131,6 +137,10 @@ class TuiModel:
     #: non-negative decimals instead of a keyword (the reference frame's
     #: second search type, ``monkey_frame.cpp:352``)
     value_scan: bool = False
+    #: last directory a file was opened from (the reference's
+    #: ``directories/open-file`` dialog start dir,
+    #: ``monkey_frame.cpp:396,413``) — prefills F6 path entry
+    last_dir: str = ""
     #: custom character sequence (the reference frame's charset field);
     #: F8 enters sequence-edit mode — literal chars, or ``@name`` to pull
     #: a named sequence from the SequenceStore (hiragana/katakana
@@ -287,6 +297,9 @@ class TuiModel:
                         self.search_events = None
                         self.searching = False
                         self.file_path = self.path_input
+                        self.last_dir = str(
+                            Path(self.path_input).resolve().parent
+                        )
                         self.results = []
                         self.selected = self.scroll = 0
                         self.progress_pct = 0
@@ -342,7 +355,9 @@ class TuiModel:
             self.start_search()
         elif key == "F6":
             self.open_mode = True
-            self.path_input = self.file_path or ""
+            self.path_input = self.file_path or (
+                self.last_dir + "/" if self.last_dir else ""
+            )
             self.status = "open: type path, Enter=open, Esc=cancel"
         elif key == "BACKSPACE":
             if self.searching:

@@ -620,3 +620,54 @@ class TestPrefsContract:
         tui_mod.run_tui(None, "", stdscr=FakeScr(), prefs_path=path)
         loaded2, _ = load_user_prefs(path)
         assert loaded2.get_int("settings/perf-search-threads") == 7
+
+
+class TestOpenDirectoryMemory:
+    """directories/open-file parity (``monkey_frame.cpp:396,413``): the
+    last-opened directory persists and prefills the F6 path entry."""
+
+    def test_open_records_directory_and_prefills(self, tmp_path):
+        p = tmp_path / "sub" / "rom.bin"
+        p.parent.mkdir()
+        p.write_bytes(b"\x00" * 32)
+        m = TuiModel()
+        m.handle_key("F6")
+        for c in str(p):
+            m.handle_key(c)
+        m.handle_key("ENTER")
+        assert m.last_dir == str(p.parent.resolve())
+        # a fresh model with the pref restored prefills F6 entry
+        from monkey_moore_tpu.prefs import Prefs, load_user_prefs
+        from monkey_moore_tpu.tui import apply_ui_prefs, collect_ui_prefs
+
+        store = Prefs()
+        collect_ui_prefs(m, store)
+        path = tmp_path / "c.xml"
+        store.save(path)
+        loaded, _ = load_user_prefs(path)
+        m2 = TuiModel()
+        apply_ui_prefs(m2, loaded)
+        assert m2.last_dir == str(p.parent.resolve())
+        m2.handle_key("F6")
+        assert m2.path_input == str(p.parent.resolve()) + "/"
+
+    def test_repl_records_and_persists_open_dir(self, tmp_path):
+        from monkey_moore_tpu.prefs import load_user_prefs
+        from monkey_moore_tpu.repl import Repl
+
+        rom = tmp_path / "dir" / "x.bin"
+        rom.parent.mkdir()
+        rom.write_bytes(b"\x00" * 16)
+        prefs_path = tmp_path / "prefs.xml"
+        import io
+
+        r = Repl(out=io.StringIO(), prefs_path=str(prefs_path))
+        r.execute(f"open {rom}")
+        r.save_user_prefs()
+        loaded, _ = load_user_prefs(prefs_path)
+        assert loaded.get("directories/open-file") == str(
+            rom.parent.resolve()
+        )
+        # a REPL session that never opened a file must not clobber it
+        r2 = Repl(out=io.StringIO(), prefs_path=str(prefs_path))
+        assert r2.open_dir == str(rom.parent.resolve())
