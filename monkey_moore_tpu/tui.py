@@ -554,7 +554,18 @@ def run_tui(file_path: Optional[str] = None, keyword: str = "",
         else:
             apply_ui_prefs(model, prefs)
     curses.curs_set(0)
-    stdscr.nodelay(True)
+    # timeout mode, NOT nodelay: getch blocks <= 30 ms, which lets ncurses
+    # assemble multi-byte escape sequences — in nodelay mode a split F-key
+    # sequence delivers a bare ESC and would QUIT the app.  A short
+    # escdelay keeps a real Esc press snappy.
+    try:
+        curses.set_escdelay(80)
+    except AttributeError:
+        pass  # Python < 3.9: ncurses default applies
+    # 100 ms: the getch timeout also caps ncurses' escape-sequence
+    # assembly window, so it must exceed realistic inter-byte gaps
+    # (slow ssh links); a 10 Hz idle event pump repaints progress fine
+    stdscr.timeout(100)
     named = {
         curses.KEY_ENTER: "ENTER",
         curses.KEY_UP: "UP",
@@ -582,11 +593,10 @@ def run_tui(file_path: Optional[str] = None, keyword: str = "",
                 pass  # bottom-right cell write
         stdscr.refresh()
         try:
-            ch = stdscr.getch()
+            ch = stdscr.getch()  # blocks <= the 100 ms timeout
         except curses.error:
             ch = -1
         if ch == -1:
-            time.sleep(0.03)
             continue
         if ch in named:
             model.handle_key(named[ch])

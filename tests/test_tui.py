@@ -590,6 +590,9 @@ class TestPrefsContract:
             def nodelay(self, *_):
                 pass
 
+            def timeout(self, *_):
+                pass
+
             def getch(self):
                 return 27  # ESC
 
