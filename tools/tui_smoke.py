@@ -77,7 +77,9 @@ def run_session(rom, prefs, keys):
         if expect:
             wait_for(expect)
         else:
-            drain(0.5)
+            # deliberate short inter-byte gap (split-sequence scenario):
+            # must stay under the driver's 80 ms escdelay
+            time.sleep(0.03)
     os.write(fd, ESC)
     drain(2.0)
     try:
@@ -114,12 +116,29 @@ def main():
     }
     s2 = run_session(rom, prefs, [])
     checks["state restored"] = "dedup=off" in s2 and "offsets=dec" in s2
+
+    # Session 3: SPLIT escape sequences (a slow link can deliver an
+    # F-key's bytes across reads; nodelay-mode curses would surface a
+    # bare ESC and QUIT).  F2 sent as ESC + "OQ" 30 ms apart must still
+    # register.  Screen diffs repaint only changed cells, so the evidence
+    # is state, not scraped text: the app survives to complete a search,
+    # and the saved prefs show the toggle (sessions 1-2 left dedup=off ->
+    # show-all=true; the split F2 flips it back to dedup=on).
+    s3 = run_session(
+        rom, prefs,
+        [(b"\x1b", None), (F2[1:], None), (ENTER, "result(s)")],
+    )
+    saved = prefs.read_text()
+    checks["split-sequence F-key"] = (
+        "result(s)" in s3
+        and '<show-all-results value="false"' in saved
+    )
     for name, ok in checks.items():
         print(f"  {'OK ' if ok else 'FAIL'} {name}")
     if not all(checks.values()):
         print("TUI smoke FAILED")
         return 1
-    print("TUI smoke OK (2 sessions, state persisted)")
+    print("TUI smoke OK (3 sessions: search flow, persistence, split-sequence keys)")
     return 0
 
 
