@@ -1,15 +1,17 @@
 #!/usr/bin/env python
 """Scripted end-to-end drive of the curses TUI through a real pty.
 
-Two sessions against a planted-match ROM:
+Three sessions against a planted-match ROM:
 
 1. launch with a keyword, press Enter, verify the painted screen shows
    the full search flow (gauge, deduped result row, values column,
    counter), then toggle dedup/offsets (F2/F3) and quit;
 2. relaunch and verify the display state persisted via the prefs store
-   (``dedup=off offsets=dec`` in the header).
+   (``dedup=off offsets=dec`` in the header);
+3. send an F-key as a SPLIT escape sequence (bare ESC, 30 ms gap, rest)
+   and verify via saved state that it registered instead of quitting.
 
-Exit code 0 = both sessions verified.  Usage: python tools/tui_smoke.py
+Exit code 0 = all sessions verified.  Usage: python tools/tui_smoke.py
 """
 
 import fcntl
